@@ -1,0 +1,115 @@
+"""Engine configuration — the logical-plan knobs.
+
+Mirrors the reference's five config dataclasses
+(Action/Execution/Match/Media/Helper, deduplidog/deduplidog.py:38-183)
+flattened into one frozen dataclass. Validation reproduces the
+reference's ``check()`` sanity rules (deduplidog.py:348-416). The config
+drives DataFrame construction only — the physical plan belongs to
+Catalyst/AQE.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- roles (reference: work_dir / original_dir, deduplidog.py:185-190)
+    work_repo: str | None = None
+    original_repo: str | None = None
+
+    # --- action (deduplidog.py:49-71; exactly one)
+    action: str = "mark"  # mark | delete | replace | link | none
+    set_both_to_older_date: bool = False  # X5, deduplidog.py:70-71,681-696
+
+    # --- execution semantics
+    invert_selection: bool = False  # J8, deduplidog.py:128-129
+    neglect_warning: bool = False  # X6, deduplidog.py:83-85
+    treat_bigger_as_original: bool = False  # W3, deduplidog.py:73-75
+    skip_bigger: bool = False  # W3, deduplidog.py:76-78
+
+    # --- match predicates (deduplidog.py:93-129)
+    ignore_name: bool = False
+    ignore_size: bool = False
+    ignore_date: bool = False
+    checksum: bool = False  # V3 → sha256 equality
+    tolerate_hour: int | tuple[int, int] | bool | None = None  # J6/V2 band
+
+    # --- key normalization (K1-K6, deduplidog.py:118-126)
+    casefold: bool = False
+    space2char: str | None = None  # replace ' ' with this char
+    strip_end_counter: bool = False  # drop trailing '(\d+)'
+    strip_suffix: str | None = None  # regex stripped from stem end
+    work_file_stem_shortened: int | None = None  # truncate index key
+
+    # --- filters (F1-F6)
+    skip_empty: bool = True  # deduplidog.py:80-81
+    suffixes: tuple[str, ...] = ()  # F3 whitelist (maps to lang)
+
+    # --- near-dup mode (generalizes media_magic, deduplidog.py:131-153)
+    mode: str = "name"  # name | exact | minhash | simhash | substring
+    shingle_k: int = 5  # char-shingle width
+    num_perm: int = 128  # MinHash permutations
+    lsh_bands: int = 32  # bands (rows = num_perm // bands)
+    jaccard_threshold: float = 0.7  # V8 verify τ
+    sig_est_threshold: float = 0.5  # cheap signature-estimate pre-filter
+    exact_verify: bool = True  # recompute true Jaccard on candidate pairs
+    simhash_bits: int = 64
+    simhash_max_hamming: int = 3  # V4 analog (accepted_img_hash_diff)
+    fingerprint_window: int = 16  # winnowing window (substring mode)
+    fingerprint_k: int = 32  # substring fingerprint gram length
+    max_bucket_size: int = 200  # LSH bucket cap (skew guard; drops logged)
+    size_ratio_prefilter: float = 0.5  # V5 analog: |len ratio| cheap gate
+    hash_max_size: int | None = None  # F6: no signature above N bytes
+    seed: int = 42
+
+    # --- scale / checkpointing (north_rule)
+    checkpoint_dir: str | None = None
+    salt_buckets: int = 8  # salting factor for hot keys
+    cc_max_iterations: int = 20
+
+    def __post_init__(self) -> None:
+        if self.action not in ("mark", "delete", "replace", "link", "none"):
+            raise ValueError(f"unknown action {self.action!r}")
+        if self.mode not in ("name", "exact", "minhash", "simhash", "substring"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        # "cannot ignore everything" (deduplidog.py:392-398)
+        if (
+            self.mode == "name"
+            and self.ignore_name
+            and self.ignore_size
+            and self.ignore_date
+            and not self.checksum
+        ):
+            raise ValueError(
+                "cannot ignore name, size and date together without a "
+                "content predicate — everything would match everything"
+            )
+        # checksum implies comparable content (reference: checksum needs
+        # size equality to short-circuit, deduplidog.py:403-406) — we relax
+        # this (sha256 is cheap columnar) but keep the skip_bigger guard:
+        if self.skip_bigger and self.ignore_size is False and self.mode == "name":
+            pass  # fine: sizes present
+        if self.num_perm % self.lsh_bands != 0:
+            raise ValueError("num_perm must be divisible by lsh_bands")
+
+    @property
+    def hour_band(self) -> tuple[float, float] | None:
+        """Normalize tolerate_hour like deduplidog.py:374-384:
+        True → (-1, 1); n → (-n, n); (lo, hi) kept."""
+        t = self.tolerate_hour
+        if t is None or t is False:
+            return None
+        if t is True:
+            return (-1.0, 1.0)
+        if isinstance(t, tuple):
+            return (float(t[0]), float(t[1]))
+        return (-float(t), float(t))
+
+    @property
+    def lsh_rows(self) -> int:
+        return self.num_perm // self.lsh_bands
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)

@@ -1,0 +1,131 @@
+"""Vectorized hashing primitives shared by the signature operators.
+
+All numpy, all batch — these run inside Arrow-batched pandas UDFs
+(BASELINE.json input_hint: "no per-row Python"; the per-document numpy
+kernels below are the vectorized replacement for the reference's
+per-file PIL/zlib calls, helpers.py:43-53, utils.py:21-32).
+
+Scheme: 64-bit polynomial rolling hash over UTF-8 bytes for char
+k-shingles (mod 2^64 via uint64 wraparound), optionally folded to
+31 bits for the MinHash permutation domain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_B = np.uint64(1099511628211)  # FNV-64 prime as the polynomial base
+_MERSENNE31 = np.uint64(2147483647)  # 2^31 - 1
+
+
+def _powers(k: int) -> np.ndarray:
+    # Python-int exponentiation masked to 64 bits (mod 2^64 semantics
+    # without numpy overflow warnings)
+    base = int(_B)
+    vals = []
+    acc = 1
+    for _ in range(k):
+        vals.append(acc)
+        acc = (acc * base) & 0xFFFFFFFFFFFFFFFF
+    return np.array(vals, dtype=np.uint64)
+
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def shingle_hashes_u64(text: str, k: int) -> np.ndarray:
+    """All k-byte-shingle rolling hashes of ``text`` (with multiplicity),
+    uint64. A text shorter than k yields one hash of the whole text so
+    byte-identical short strings still collide."""
+    b = np.frombuffer(text.encode("utf-8", errors="surrogatepass"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if len(b) < k:
+        k = len(b)
+    pw = _POW_CACHE.get(k)
+    if pw is None:
+        pw = _POW_CACHE.setdefault(k, _powers(k))
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    h = (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
+    # avalanche (xorshift-multiply) so low-entropy inputs spread
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def shingle_set_u32(text: str, k: int) -> np.ndarray:
+    """Distinct shingle hashes folded into [0, 2^31): the MinHash
+    universe (31-bit so a*x+b fits uint64 without overflow)."""
+    h = shingle_hashes_u64(text, k)
+    folded = (h ^ (h >> np.uint64(31))) & np.uint64(0x7FFFFFFF)
+    return np.unique(folded)
+
+
+def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash permutation params a (odd, nonzero) and b,
+    both < 2^31-1, deterministic in ``seed``."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, int(_MERSENNE31), size=num_perm).astype(np.uint64)
+    b = rng.randint(0, int(_MERSENNE31), size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    shingles_u32: np.ndarray, a: np.ndarray, b: np.ndarray, chunk: int = 8192
+) -> np.ndarray:
+    """min over shingles of (a*x + b) mod (2^31-1), per permutation.
+    Chunked over the shingle axis to bound the (P × m) intermediate."""
+    p = len(a)
+    sig = np.full(p, int(_MERSENNE31), dtype=np.uint64)
+    for lo in range(0, len(shingles_u32), chunk):
+        s = shingles_u32[lo : lo + chunk]
+        # (P, m) block: a[:,None]*s[None,:] < 2^31 * 2^31 = 2^62 — no overflow
+        block = (a[:, None] * s[None, :] + b[:, None]) % _MERSENNE31
+        np.minimum(sig, block.min(axis=1), out=sig)
+    return sig.astype(np.int64)
+
+
+def simhash64(shingle_hashes: np.ndarray) -> int:
+    """64-bit SimHash over (multiplicity-weighted) shingle hashes —
+    the analog of the reference's 64-bit average_hash (helpers.py:44-53).
+    Returned as a signed int64 (Spark LongType)."""
+    if len(shingle_hashes) == 0:
+        return 0
+    bits = (
+        (shingle_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)
+    votes = 2 * bits.sum(axis=0) - len(shingle_hashes)
+    h = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            h |= np.uint64(1) << np.uint64(i)
+    return int(h.astype(np.int64))
+
+
+def winnow_fingerprints(text: str, k: int, window: int) -> np.ndarray:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    'Winnowing: Local Algorithms for Document Fingerprinting',
+    SIGMOD'03): min k-gram hash per sliding window of ``window``
+    consecutive positions, deduplicated. Guarantee: any shared
+    substring of length ≥ window + k - 1 yields a shared fingerprint —
+    the scalable substitute for the reference-survey's suffix-array
+    substring mode (SURVEY §2.11.4)."""
+    h = shingle_hashes_u64(text, k)
+    if len(h) <= window:
+        return np.unique(h).astype(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(h, window)
+    mins = win.min(axis=1)
+    return np.unique(mins).astype(np.int64)
+
+
+def jaccard_of_texts(a: str, b: str, k: int) -> float:
+    """Exact shingle-set Jaccard — the verification oracle (V8)."""
+    sa = shingle_set_u32(a, k)
+    sb = shingle_set_u32(b, k)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return float(inter) / float(union) if union else 1.0

@@ -1,0 +1,116 @@
+"""Action-plan emission (SURVEY §2.8 X1-X6, S6-S7).
+
+The reference mutates the filesystem (rename/delete/copy/symlink/utime,
+deduplidog.py:613-696); a table engine emits an **action-plan table**
+instead — one row per affected file with the decided action, warning
+flags, and the redate target. Appliers (an Iceberg MERGE INTO or an FS
+job) consume it; the plan table doubles as the change log / audit
+record (the reference's ``Change`` dict, deduplidog.py:32-33,584) and
+as the idempotence marker source (F1: anti-join next run's input
+against prior plans instead of the "✓" filename prefix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deduplidog_spark.config import DedupConfig
+
+PLAN_COLUMNS = [
+    "fid",
+    "repo",
+    "path",
+    "component",
+    "is_keeper",
+    "duplicate_of",
+    "action",
+    "size_warning",
+    "date_warning",
+    "action_effective",
+    "new_mtime",
+]
+
+
+def action_plan(clustered: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Clustered members (from cluster.elect_keepers) → plan rows.
+
+    - keepers get action 'keep' (they survive, like the reference's
+      original / the swap target of treat_bigger_as_original);
+    - duplicates get cfg.action, downgraded to 'skipped' when warned
+      and warnings are not neglected (X6, deduplidog.py:565-566);
+    - ``new_mtime`` = min mtime over the cluster when
+      set_both_to_older_date (X5 — resolved cluster-at-once, so the
+      oldest of a multi-dup chain wins, matching the launch-time
+      resolution note at deduplidog.py:681-690).
+    """
+    cw = Window.partitionBy("component")
+    m = clustered.withColumn(
+        "keeper_size", F.max(F.when(F.col("is_keeper"), F.col("size"))).over(cw)
+    ).withColumn(
+        "keeper_mtime",
+        F.max(F.when(F.col("is_keeper"), F.col("mtime"))).over(cw),
+    )
+    size_warn = (~F.col("is_keeper")) & (F.col("size") > F.col("keeper_size"))
+    date_warn = (~F.col("is_keeper")) & (
+        (F.col("keeper_mtime").cast("double") - F.col("mtime").cast("double")) >= 1.0
+    )
+    base_action = F.when(F.col("is_keeper"), F.lit("keep")).otherwise(F.lit(cfg.action))
+    if cfg.skip_bigger:
+        base_action = F.when(
+            (~F.col("is_keeper")) & (F.col("size") > F.col("keeper_size")),
+            F.lit("skipped"),
+        ).otherwise(base_action)
+    warned = size_warn | date_warn
+    effective = F.when(
+        (~F.col("is_keeper")) & warned & F.lit(not cfg.neglect_warning),
+        F.lit("skipped"),
+    ).otherwise(base_action)
+    new_mtime = (
+        F.col("cluster_min_mtime") if cfg.set_both_to_older_date else F.col("mtime")
+    )
+    return m.select(
+        "fid",
+        "repo",
+        "path",
+        "component",
+        "is_keeper",
+        "duplicate_of",
+        base_action.alias("action"),
+        size_warn.alias("size_warning"),
+        date_warn.alias("date_warning"),
+        effective.alias("action_effective"),
+        new_mtime.alias("new_mtime"),
+    )
+
+
+def run_metrics(plan: DataFrame, files: DataFrame) -> DataFrame:
+    """A3 run counters as one aggregate row: affected count/size,
+    warning count, ignored count (deduplidog.py:243-252,315-325)."""
+    affected = F.sum(
+        F.when(
+            (~F.col("is_keeper")) & (F.col("action_effective") != "skipped"), 1
+        ).otherwise(0)
+    )
+    plan_with_size = plan.join(
+        files.select(
+            F.concat_ws("/", "repo", "path").alias("fid"),
+            F.col("size").alias("f_size"),
+        ),
+        "fid",
+    )
+    return plan_with_size.agg(
+        affected.alias("affected_count"),
+        F.sum(
+            F.when(
+                (~F.col("is_keeper")) & (F.col("action_effective") != "skipped"),
+                F.col("f_size"),
+            ).otherwise(0)
+        ).alias("size_affected"),
+        F.sum(
+            F.when(F.col("size_warning") | F.col("date_warning"), 1).otherwise(0)
+        ).alias("warning_count"),
+        F.sum(F.when(F.col("action_effective") == "skipped", 1).otherwise(0)).alias(
+            "skipped_count"
+        ),
+    )

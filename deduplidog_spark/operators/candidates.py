@@ -1,0 +1,73 @@
+"""LSH candidate-pair generation with skew guards (SURVEY §2.4 J5, §4.3).
+
+The shared machinery behind the minhash / simhash / substring modes:
+band rows (fid, band_id, band_hash) self-join into candidate pairs.
+
+Scale analysis (the stage that decides 100 TB viability):
+- the join key (band_id, band_hash) is high-cardinality; honest buckets
+  hold a handful of docs → pair counts stay near-linear;
+- skew comes from boilerplate: one hot content (5% of a corpus) would
+  make one bucket of size h and h²/2 pairs. Two guards:
+  (a) byte-identical content never reaches LSH — the pipeline
+      deduplicates on sha first and sends one representative per sha
+      (SURVEY §7 risk list: "rely on sha256 exact groups");
+  (b) ``max_bucket_size`` caps what remains: buckets bigger than the
+      cap are dropped and *logged* (standard LSH practice — a pair
+      sharing one giant bucket almost always shares an honest one).
+- AQE skew-join splitting handles residual imbalance at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplidog_spark.config import DedupConfig
+
+
+def lsh_candidate_pairs(
+    band_rows: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """band rows (fid, band_id, band_hash) → distinct pairs
+    (id_a < id_b). Returns (pairs, dropped_buckets_report).
+
+    The heavy-bucket blacklist is tiny (it is the skew, by definition)
+    → broadcast anti-join, no shuffle of the big side beyond the one
+    the join itself needs.
+    """
+    sizes = band_rows.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+    heavy = sizes.filter(F.col("bucket_size") > cfg.max_bucket_size)
+    dropped_report = heavy.select(
+        "band_id", "band_hash", "bucket_size"
+    )  # logged, per standard LSH practice — SURVEY §4.3
+    pruned = band_rows.join(
+        F.broadcast(heavy.select("band_id", "band_hash")),
+        ["band_id", "band_hash"],
+        "left_anti",
+    )
+    a = pruned.select(
+        F.col("band_id"), F.col("band_hash"), F.col("fid").alias("id_a")
+    )
+    b = pruned.select(
+        F.col("band_id"), F.col("band_hash"), F.col("fid").alias("id_b")
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs, dropped_report
+
+
+def salt_column(key, unique_col, buckets: int):
+    """Salting helper for hot keys (SURVEY §4.3): deterministically
+    spread a skewed grouping key over ``buckets`` shards by hashing a
+    unique column (e.g. path). Aggregations run salted first, then
+    re-aggregate the ``buckets`` partials — two small shuffles instead
+    of one skewed one."""
+    return F.concat_ws(
+        "#", key, F.pmod(F.xxhash64(unique_col), F.lit(buckets)).cast("string")
+    )

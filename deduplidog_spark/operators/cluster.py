@@ -1,0 +1,106 @@
+"""Connected components + canonical-keeper election (SURVEY §2.9).
+
+The reference resolves mutually-similar file sets *sequentially*: the
+first processed file consumes its match, tombstones it (passed_away,
+deduplidog.py:224,494), and later files skip it — net effect, each
+similarity component collapses to one surviving original plus N
+affected duplicates. We make that explicit and order-independent:
+verified pairs are edges; hash-min label propagation finds components;
+a window elects one keeper per component.
+
+Hash-min propagation (the alternating-star idea of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" — see PAPERS.md) in pure
+DataFrame ops: each round every node takes the min label among itself
+and its neighbors; iterate until a round changes nothing. Rounds are
+O(diameter); dedup graphs are near-star-shaped (exact groups emit
+star edges, LSH cliques are shallow), so 3-5 rounds typical.
+``localCheckpoint`` truncates lineage each round — without it the plan
+doubles per iteration and the driver OOMs at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Edges (id_a, id_b) → labels (fid, component) for every node that
+    appears in an edge. Component id = min member fid (deterministic).
+
+    Shuffle profile per round: one groupBy(fid) over the undirected
+    edge list joined with current labels — keys are file ids (unique,
+    no skew). Early-exits when an iteration changes no label.
+    """
+    und = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    und = und.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+
+    labels = (
+        und.select(F.col("src").alias("fid"))
+        .distinct()
+        .withColumn("component", F.col("fid"))
+        .localCheckpoint()
+    )
+
+    for i in range(max_iterations):
+        # neighbor labels: for each edge (src,dst), dst's current label
+        nbr = und.join(
+            labels.withColumnRenamed("fid", "dst").withColumnRenamed(
+                "component", "nbr_component"
+            ),
+            "dst",
+        ).select(F.col("src").alias("fid"), "nbr_component")
+        new_labels = (
+            nbr.union(labels.select("fid", F.col("component").alias("nbr_component")))
+            .groupBy("fid")
+            .agg(F.min("nbr_component").alias("component"))
+        )
+        if checkpoint_every and (i % checkpoint_every == 0):
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "fid")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def elect_keepers(files: DataFrame, labels: DataFrame, cfg=None) -> DataFrame:
+    """W3/W4: one canonical keeper per component.
+
+    Default ordering generalizes the reference's role election
+    (treat_bigger_as_original prefers the bigger file,
+    deduplidog.py:73-75,529-535; set_both_to_older_date propagates the
+    min mtime, deduplidog.py:681-696): keeper = biggest, then oldest,
+    then lexicographically-first member. Emits one row per clustered
+    file: (fid, component, is_keeper, duplicate_of, cluster_min_mtime).
+    """
+    fid = F.concat_ws("/", "repo", "path")
+    members = files.withColumn("fid", fid).join(labels, "fid")
+    w = Window.partitionBy("component").orderBy(
+        F.col("size").desc(), F.col("mtime").asc(), F.col("fid").asc()
+    )
+    cluster_w = Window.partitionBy("component")
+    out = (
+        members.withColumn("_rank", F.row_number().over(w))
+        .withColumn("is_keeper", F.col("_rank") == 1)
+        .withColumn("keeper", F.first("fid").over(w))
+        .withColumn("cluster_min_mtime", F.min("mtime").over(cluster_w))
+        .withColumn(
+            "duplicate_of",
+            F.when(F.col("is_keeper"), F.lit(None)).otherwise(F.col("keeper")),
+        )
+        .drop("_rank", "keeper")
+    )
+    return out

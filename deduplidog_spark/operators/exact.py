@@ -1,0 +1,51 @@
+"""Exact-duplicate grouping by content hash (SURVEY §2.6 A7, V3).
+
+The reference verifies content with chunked CRC32 only after size
+equality (utils.py:21-32, deduplidog.py:714); at corpus scale the idiom
+is one ``groupBy(sha2(content, 256))``. Map-side partial aggregation
+makes this a single shuffle on the 32-byte hash — uniformly distributed,
+so no skew by construction (a giant identical-content group lands on one
+reducer, but its aggregate state is one row: count + member list; we cap
+the member list for display queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(files: DataFrame, min_size: int = 1) -> DataFrame:
+    """Groups of byte-identical content: (sha, n_files, size, members).
+
+    members sorted for determinism (reference scan order, SURVEY W5).
+    """
+    return (
+        files.filter(F.col("size") >= min_size)
+        .groupBy("sha")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.first("size").alias("size"),
+            F.array_sort(
+                F.collect_list(F.concat_ws("/", "repo", "path"))
+            ).alias("members"),
+        )
+        .filter(F.col("n_files") > 1)
+    )
+
+
+def exact_dup_pairs(files: DataFrame) -> DataFrame:
+    """Edge list (id_a, id_b) of exact duplicates — feeds connected
+    components. Star-shaped per group (each member → group min), not the
+    full clique: O(n) edges per group instead of O(n²), which is what
+    keeps the 5%-boilerplate skew group (FIXTURES.md §3) from exploding.
+    """
+    w = files.select(
+        F.col("sha"), F.concat_ws("/", "repo", "path").alias("fid")
+    )
+    mins = w.groupBy("sha").agg(F.min("fid").alias("root"), F.count("*").alias("n"))
+    return (
+        w.join(mins.filter(F.col("n") > 1), "sha")
+        .filter(F.col("fid") != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col("fid").alias("id_b"))
+    )

@@ -1,0 +1,95 @@
+"""MinHash signatures + LSH banding (SURVEY §2.4 J5, §2.11.1-2).
+
+Replaces the reference's O(n·m) ignore_name cross join
+(deduplidog.py:109-110,492) with the standard MinHash-LSH pipeline:
+
+1. ``minhash_sig`` — Arrow-batched pandas UDF: char-k-shingle set →
+   128-perm MinHash signature (numpy kernels in functions/hashing.py).
+2. JVM-side banding — the signature array is sliced into B bands of r
+   values and each band hashed with ``xxhash64``; pure built-in
+   expressions (slice/transform/concat_ws/xxhash64) so banding stays
+   inside whole-stage codegen, no second UDF.
+3. ``posexplode`` bands → (band_id, band_hash) rows for the LSH
+   equi-join (operators/candidates.py).
+
+Two docs with shingle-Jaccard j collide in ≥1 band with probability
+1-(1-j^r)^B; defaults (B=32, r=4) put the S-curve threshold near
+(1/B)^(1/r) ≈ 0.42 — recall ≥0.99 at j ≥ 0.7 (north_rule).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from deduplidog_spark.config import DedupConfig
+from deduplidog_spark.functions import hashing as H
+
+
+def make_minhash_udf(cfg: DedupConfig):
+    k = cfg.shingle_k
+    num_perm = cfg.num_perm
+    seed = cfg.seed
+    max_size = cfg.hash_max_size
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(content: pd.Series) -> pd.Series:
+        a, b = H.minhash_params(num_perm, seed)
+        out = []
+        for text in content:
+            if text is None or (max_size is not None and len(text) > max_size):
+                out.append(None)  # F6 hash-cost gate → never similar
+                continue
+            sh = H.shingle_set_u32(text, k)
+            out.append(H.minhash_signature(sh, a, b).tolist())
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+def with_signatures(files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Adds ``sig`` (array<long>, num_perm wide). Gate rows through the
+    F6 size filter before paying the UDF (SURVEY §4: compute signatures
+    only for rows that enter the LSH stage)."""
+    return files.withColumn("sig", make_minhash_udf(cfg)(F.col("content")))
+
+
+def with_band_hashes(df: DataFrame, cfg: DedupConfig, sig_col: str = "sig") -> DataFrame:
+    """JVM-side banding: band b = xxhash64(concat of sig[b*r+1 .. b*r+r]).
+    All built-ins — stays in codegen, no Python round-trip."""
+    r = cfg.lsh_rows
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col(sig_col), b * F.lit(r) + F.lit(1), r),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ),
+    )
+    return df.withColumn("band_hashes", bands)
+
+
+def explode_bands(df: DataFrame, id_col: str = "fid") -> DataFrame:
+    """(band_id, band_hash, fid) rows — input to the LSH self-join."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode("band_hashes").alias("band_id", "band_hash"),
+    )
+
+
+def signature_agreement(sig_a, sig_b) -> "F.Column":
+    """Estimated Jaccard = fraction of agreeing MinHash components —
+    computed JVM-side with zip_with + aggregate (no UDF)."""
+    matches = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return matches.cast("double") / F.size(sig_a)

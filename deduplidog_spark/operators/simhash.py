@@ -1,0 +1,67 @@
+"""SimHash mode (SURVEY §2.5 V4 analog).
+
+The reference's perceptual aHash is a 64-bit signature compared by
+Hamming distance (helpers.py:44-53, deduplidog.py:758-760:
+``abs(h0-h1) <= accepted_img_hash_diff``). The text analog is Charikar
+SimHash over char-shingle hashes: near-identical content differs in few
+bits.
+
+Candidate generation is bit-sampling LSH by the pigeonhole principle:
+split the 64 bits into q = max_hamming + 1 chunks; two signatures
+within Hamming distance ≤ max_hamming must agree exactly on at least
+one chunk — so an equi-join on (chunk_id, chunk_value) has recall 1.0
+for the distance bound, no cross join. Verification is
+``bit_count(a ^ b) <= max_hamming``, a built-in (JVM, codegen).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from deduplidog_spark.config import DedupConfig
+from deduplidog_spark.functions import hashing as H
+
+
+def make_simhash_udf(cfg: DedupConfig):
+    k = cfg.shingle_k
+    max_size = cfg.hash_max_size
+
+    @pandas_udf(T.LongType())
+    def simhash_sig(content: pd.Series) -> pd.Series:
+        out = []
+        for text in content:
+            if text is None or (max_size is not None and len(text) > max_size):
+                out.append(None)
+                continue
+            out.append(H.simhash64(H.shingle_hashes_u64(text, k)))
+        return pd.Series(out, dtype="object")
+
+    return simhash_sig
+
+
+def with_simhash(files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    return files.withColumn("simhash", make_simhash_udf(cfg)(F.col("content")))
+
+
+def with_simhash_chunks(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Split the 64-bit signature into q = max_hamming+1 equal bit
+    chunks (JVM-side shiftrightunsigned/mask)."""
+    q = cfg.simhash_max_hamming + 1
+    width = 64 // q
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(q)
+        ]
+    )
+    return df.withColumn("band_hashes", chunks)
+
+
+def hamming_distance(a, b) -> "F.Column":
+    return F.bit_count(a.bitwiseXOR(b))

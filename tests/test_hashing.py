@@ -1,0 +1,75 @@
+"""Pure-numpy unit tests for the signature kernels (no Spark)."""
+
+import numpy as np
+
+from deduplidog_spark.functions import hashing as H
+
+
+def test_shingle_hashes_deterministic_and_positional():
+    a = H.shingle_hashes_u64("hello world", 5)
+    b = H.shingle_hashes_u64("hello world", 5)
+    assert np.array_equal(a, b)
+    assert len(a) == len("hello world") - 4
+
+
+def test_short_text_still_hashes():
+    assert len(H.shingle_hashes_u64("ab", 5)) == 1
+    assert len(H.shingle_hashes_u64("", 5)) == 1
+    # identical short strings collide, different ones don't
+    assert H.shingle_hashes_u64("ab", 5)[0] == H.shingle_hashes_u64("ab", 5)[0]
+    assert H.shingle_hashes_u64("ab", 5)[0] != H.shingle_hashes_u64("ac", 5)[0]
+
+
+def test_jaccard_identity_and_disjoint():
+    assert H.jaccard_of_texts("abcdefgh", "abcdefgh", 5) == 1.0
+    assert H.jaccard_of_texts("aaaaaaaa", "zzzzzzzz", 5) == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.RandomState(7)
+    words = ["tok%d" % i for i in range(500)]
+    base = " ".join(rng.choice(words, 300))
+    # variant sharing most content
+    var = base[: int(len(base) * 0.8)] + " " + " ".join(rng.choice(words, 60))
+    true_j = H.jaccard_of_texts(base, var, 5)
+    a, b = H.minhash_params(128, 42)
+    sa = H.minhash_signature(H.shingle_set_u32(base, 5), a, b)
+    sb = H.minhash_signature(H.shingle_set_u32(var, 5), a, b)
+    est = float(np.mean(sa == sb))
+    assert abs(est - true_j) < 0.12  # 128 perms → σ ≈ sqrt(j(1-j)/128) ≈ 0.04
+
+
+def test_minhash_chunking_invariant():
+    a, b = H.minhash_params(64, 1)
+    s = H.shingle_set_u32("the quick brown fox jumps over the lazy dog" * 50, 5)
+    full = H.minhash_signature(s, a, b, chunk=1 << 20)
+    small = H.minhash_signature(s, a, b, chunk=7)
+    assert np.array_equal(full, small)
+
+
+def test_simhash_near_texts_low_hamming():
+    base = "def f(x):\n    return x + 1\n" * 40
+    near = base.replace("x + 1", "x + 2", 3)
+    far = "completely unrelated content with different words entirely" * 20
+    h0 = H.simhash64(H.shingle_hashes_u64(base, 5))
+    h1 = H.simhash64(H.shingle_hashes_u64(near, 5))
+    h2 = H.simhash64(H.shingle_hashes_u64(far, 5))
+    d_near = bin((h0 ^ h1) & 0xFFFFFFFFFFFFFFFF).count("1")
+    d_far = bin((h0 ^ h2) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert d_near <= 6
+    assert d_far > 10
+
+
+def test_winnowing_shared_substring_guarantee():
+    """Any shared substring of length >= window + k - 1 yields a shared
+    fingerprint (Schleimer et al. guarantee)."""
+    k, w = 8, 16
+    block = "SHARED-BLOCK-" * 10  # 130 chars >> w + k - 1
+    a = "prefix-a-" * 20 + block + "suffix-a-" * 20
+    b = "other-b-" * 25 + block + "tail-b-" * 15
+    fa = set(H.winnow_fingerprints(a, k, w).tolist())
+    fb = set(H.winnow_fingerprints(b, k, w).tolist())
+    assert fa & fb
+    c = "no overlap at all here " * 30
+    fc = set(H.winnow_fingerprints(c, k, w).tolist())
+    assert not (fa & fc)
