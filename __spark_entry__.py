@@ -1,38 +1,579 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship dedup pipeline on sf0.001.
+``queries()`` exposes one DataFrame builder per implemented operator
+from SURVEY.md §2 (+ the training-data extras); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one. Column names
+and value representations are aligned on both sides (integer cents for
+money, round(x, 6) for similarity doubles) so the driver's
+order-insensitive value-hash comparison is deterministic.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deduplidog_spark.config import DedupConfig
+from deduplidog_spark.ingest import ingest
+from deduplidog_spark.operators import minhash as mh
+from deduplidog_spark.operators import simhash as sh
+from deduplidog_spark.operators import substring as ss
+from deduplidog_spark.operators import textstats as ts
+from deduplidog_spark.operators.bandjoin import asof_nearest, band_join
+from deduplidog_spark.operators.candidates import lsh_candidate_pairs
+from deduplidog_spark.operators.cluster import connected_components
+from deduplidog_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from deduplidog_spark.operators.verify import verify_candidate_pairs
+from deduplidog_spark.pipeline import dedupe
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_files(docs: DataFrame) -> DataFrame:
+    """Map the documents table into the engine's contract schema."""
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.lit(None).cast("timestamp").alias("mtime"),
+        F.lit(False).alias("is_symlink"),
+    ).withColumn("mtime", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full minhash dedup pipeline over sf0.001 documents."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    files = _docs_as_files(docs)
+    cfg = DedupConfig(mode="minhash", jaccard_threshold=0.5, sig_est_threshold=0.35)
+    res = dedupe(files, cfg)
+    return res.plan
+
+
+# --------------------------------------------------------------------------
+# operator queries (SURVEY §2) — each with a DuckDB oracle when expressible
+# --------------------------------------------------------------------------
+
+
+def q_agg_counters(spark, sf_dir):
+    """A3: grouped run counters (TPC-H Q1 shape) — integer cents so the
+    sums are exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_c"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_filter_project(spark, sf_dir):
+    """F1-F4: predicate + projection pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01"))
+        & (F.col("l_discount") >= 0.07)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+    )
+
+
+def q_equi_join_agg(spark, sf_dir):
+    """J1: hash equi-join + aggregation (orders ⋈ customer)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_total_c"
+            ),
+        )
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """J8 invert_selection: customers with no orders (left anti)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
+
+
+def q_semi_join(spark, sf_dir):
+    """J8 complement: customers with ≥1 order (left semi)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey")
+
+
+def q_first_match(spark, sf_dir):
+    """J9/W1: first match per group in deterministic order — each
+    customer's earliest order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W2/W3 ranking: top-3 orders by value per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("rank"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_c"),
+        )
+    )
+
+
+def q_keeper_election(spark, sf_dir):
+    """W3: canonical keeper per group — biggest doc per (source, lang)
+    with deterministic tie-breaks, like the dedup keeper window."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "lang", F.col("doc_id").alias("keeper_doc_id"), "n_chars")
+    )
+
+
+def q_min_over_cluster(spark, sf_dir):
+    """W4 older-date election: min/max event time per user."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_multi_candidate(spark, sf_dir):
+    """J10/A4: groups with multiple candidates (orders per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.min("o_orderkey").alias("first_ok"),
+            F.max("o_orderkey").alias("last_ok"),
+        )
+        .filter(F.col("n_candidates") > 1)
+    )
+
+
+def q_distinct_flatten(spark, sf_dir):
+    """A6 order-preserving dedupe of flattened sets → sorted string."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        )
+    )
+
+
+def q_band_join(spark, sf_dir):
+    """J6: time-band self-join — events of the same user within 120 s
+    (bucketized equi-join, not a theta join; see operators/bandjoin.py)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pairs = band_join(e, e, ["user_id"], "ts", 120.0)
+    return (
+        pairs.filter(F.col("a_event_id") < F.col("b_event_id"))
+        .select(
+            F.col("a_event_id").alias("event_id_a"),
+            F.col("b_event_id").alias("event_id_b"),
+            F.floor(F.col("delta_s")).cast("long").alias("delta_s"),
+        )
+        .dropDuplicates(["event_id_a", "event_id_b"])
+    )
+
+
+def q_asof_nearest(spark, sf_dir):
+    """J7/W2: nearest 'purchase' within ±600 s of each 'click', per
+    user (as-of join via bucketed band + top-1 window)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    clicks = e.filter(F.col("event_type") == "click")
+    buys = e.filter(F.col("event_type") == "purchase")
+    out = asof_nearest(clicks, buys, ["user_id"], "ts", 600.0, "event_id")
+    return out.select(
+        F.col("a_event_id").alias("click_id"),
+        F.col("b_event_id").alias("purchase_id"),
+        F.floor(F.col("delta_s")).cast("long").alias("delta_s"),
+    )
+
+
+def q_norm_key(spark, sf_dir):
+    """K1-K6 key normalization on part names: space2char + trailing
+    counter strip + casefold + truncation."""
+    p = _t(spark, sf_dir, "part")
+    key = F.regexp_replace(F.lower(F.col("p_name")), r"\(\d+\)$", "")
+    key = F.regexp_replace(key, " ", "_")
+    return p.select("p_partkey", F.substring(key, 1, 20).alias("norm_key"))
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """A7/V3: exact-dup grouping by sha256 (documents)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("content_sha"))
+        .agg(F.count("*").alias("n_files"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Content fingerprint: md5 of casefolded whitespace-collapsed text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.content_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.language_id(F.col("text")).alias("lang_id"))
+
+
+def q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.quality_score(F.col("text")).alias("quality_bp"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """V8 exact n-gram Jaccard verify, SQL-expressible subset: doc i vs
+    docs i+1..i+3 for i < 40."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a")
+    )
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(
+        b,
+        (F.col("doc_id_b") > F.col("doc_id_a"))
+        & (F.col("doc_id_b") <= F.col("doc_id_a") + 3),
+    )
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(ts.ngram_jaccard(F.col("text_a"), F.col("text_b"), 3), 6).alias(
+            "jaccard3"
+        ),
+    )
+
+
+def q_union_dedupe(spark, sf_dir):
+    """Set op: union of two order subsets, deduplicated."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return hi.union(urgent).distinct()
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for vec_id < 20 (exact ANN
+    baseline; JVM-side zip_with/aggregate arithmetic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return brute_force_topk(queries, emb, k=3)
+
+
+# ---- non-SQL-expressible (rows-only driver check) ------------------------
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs + exact-Jaccard verify on documents
+    (probabilistic banding → rows-only check; q_ngram_jaccard is the
+    SQL-checkable verify analog)."""
+    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    cfg = DedupConfig(
+        mode="minhash", jaccard_threshold=0.35, sig_est_threshold=0.2,
+        lsh_bands=64, size_ratio_prefilter=0.3,
+    )
+    files = ingest(docs, cfg).withColumn("fid", F.concat_ws("/", "repo", "path"))
+    sigs = mh.with_signatures(files, cfg)
+    bands = mh.with_band_hashes(sigs, cfg)
+    pairs, _ = lsh_candidate_pairs(mh.explode_bands(bands), cfg)
+    return verify_candidate_pairs(pairs, sigs, cfg, sigs=sigs.select("fid", "sig"))
+
+
+def q_simhash_sigs(spark, sf_dir):
+    """SimHash 64-bit signatures (UDF-computed → rows-only check)."""
+    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    cfg = DedupConfig(mode="simhash")
+    files = ingest(docs, cfg)
+    return sh.with_simhash(files, cfg).select("path", "simhash")
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing substring fingerprints (rows-only)."""
+    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    cfg = DedupConfig(mode="substring")
+    files = ingest(docs, cfg)
+    fps = ss.with_fingerprints(files, cfg)
+    return fps.select("path", F.size("band_hashes").alias("n_fingerprints"))
+
+
+def q_connected_components(spark, sf_dir):
+    """§2.9 clustering over verified near-dup edges (iterative —
+    rows-only)."""
+    edges = q_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(edges)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate top-3 (bucketed ANN — rows-only;
+    q_cosine_topk is the exact baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_ann_topk(queries, emb, dim=64, k=3, n_planes=6)
+
+
+def q_dedup_pipeline(spark, sf_dir):
+    """Flagship end-to-end pipeline at the given sf (rows-only)."""
+    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    cfg = DedupConfig(mode="minhash", jaccard_threshold=0.5, sig_est_threshold=0.35)
+    return dedupe(docs, cfg).plan
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "agg_counters": q_agg_counters,
+        "filter_project": q_filter_project,
+        "equi_join_agg": q_equi_join_agg,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "first_match": q_first_match,
+        "topk_per_group": q_topk_per_group,
+        "keeper_election": q_keeper_election,
+        "min_over_cluster": q_min_over_cluster,
+        "multi_candidate": q_multi_candidate,
+        "distinct_flatten": q_distinct_flatten,
+        "band_join": q_band_join,
+        "asof_nearest": q_asof_nearest,
+        "norm_key": q_norm_key,
+        "exact_dup_groups": q_exact_dup_groups,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "ngram_jaccard": q_ngram_jaccard,
+        "union_dedupe": q_union_dedupe,
+        "cosine_topk": q_cosine_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_sigs": q_simhash_sigs,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "connected_components": q_connected_components,
+        "ann_lsh": q_ann_lsh,
+        "dedup_pipeline": q_dedup_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "agg_counters": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_quantity*100) AS BIGINT) AS qty_c
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-03-01'
+              AND l_discount >= 0.07
+        """,
+        "equi_join_agg": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_c
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "semi_join": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "first_match": """
+            SELECT o_custkey, o_orderkey, o_orderdate FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS rn
+                FROM orders) WHERE rn = 1
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, rank, total_c FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+                       CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+                FROM orders) WHERE rank <= 3
+        """,
+        "keeper_election": """
+            SELECT source, lang, doc_id AS keeper_doc_id, n_chars FROM (
+                SELECT source, lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source, lang
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents) WHERE rn = 1
+        """,
+        "min_over_cluster": """
+            SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "multi_candidate": """
+            SELECT o_custkey, count(*) AS n_candidates,
+                   min(o_orderkey) AS first_ok, max(o_orderkey) AS last_ok
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "distinct_flatten": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
+            FROM events GROUP BY user_id
+        """,
+        "band_join": """
+            SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+                   CAST(floor(epoch(a.ts) - epoch(b.ts)) AS BIGINT) AS delta_s
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(epoch(a.ts) - epoch(b.ts)) <= 120
+        """,
+        "asof_nearest": """
+            SELECT click_id, purchase_id, delta_s FROM (
+                SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+                       CAST(floor(epoch(a.ts) - epoch(b.ts)) AS BIGINT) AS delta_s,
+                       row_number() OVER (PARTITION BY a.event_id
+                                          ORDER BY abs(epoch(a.ts) - epoch(b.ts)), b.ts) AS rn
+                FROM events a JOIN events b
+                  ON a.user_id = b.user_id
+                 AND a.event_type = 'click' AND b.event_type = 'purchase'
+                 AND abs(epoch(a.ts) - epoch(b.ts)) <= 600
+            ) WHERE rn = 1
+        """,
+        "norm_key": """
+            SELECT p_partkey,
+                   substr(replace(regexp_replace(lower(p_name), '\\(\\d+\\)$', ''),
+                                  ' ', '_'), 1, 20) AS norm_key
+            FROM part
+        """,
+        "exact_dup_groups": """
+            SELECT sha256(text) AS content_sha, count(*) AS n_files,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY sha256(text)
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   len(text) AS n_chars_actual
+            FROM documents
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   CASE
+                     WHEN n_tok < 5 THEN 'unknown'
+                     WHEN CAST(hits AS DOUBLE) / greatest(n_tok, 1) >= 0.02 THEN 'en'
+                     ELSE 'other'
+                   END AS lang_id
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+                       len(regexp_extract_all(text,
+                           '(?i)\\b(the|a|an|of|to|in|and|is|it|for|on|with)\\b')) AS hits
+                FROM documents)
+        """,
+        "quality": """
+            SELECT doc_id,
+                   CAST(floor(least(CAST(n_chars_x AS DOUBLE)/200.0, 1.0)
+                         * (1.0 - CAST(punct AS DOUBLE)/greatest(n_chars_x, 1))
+                         * (0.5 + 0.5*CAST(n_distinct AS DOUBLE)/greatest(n_tok, 1))
+                         * 10000) AS BIGINT) AS quality_bp
+            FROM (
+                SELECT doc_id, len(text) AS n_chars_x,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+                       len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+                       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct
+                FROM documents)
+        """,
+        "ngram_jaccard": """
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(text)-2, 1)+1),
+                           i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+                FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
+                         6) AS jaccard3
+            FROM grams a JOIN grams b
+              ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+            WHERE a.doc_id < 40
+        """,
+        "union_dedupe": """
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+            UNION
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "cosine_topk": """
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                    c.embedding::DOUBLE[]), 6) AS cosine_sim,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                                 c.embedding::DOUBLE[]), 6) DESC,
+                                    c.vec_id) AS rank
+                FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 20
+            ) WHERE rank <= 3
+        """,
+    }

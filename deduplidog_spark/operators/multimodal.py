@@ -1,0 +1,156 @@
+"""Multimodal column plumbing (task brief: image/audio/video columns).
+
+Media payloads are opaque ``binary`` columns with typed metadata; the
+Spark-side plumbing — schema, partition sizing, Arrow batch shape, UDF
+signatures — is real and tested. The actual codec calls are stubbed
+behind ``_decode_image_stub`` (the image/audio libraries are not in
+this container): the stub is deterministic so tests can assert the full
+dataflow, and a real deployment swaps one function.
+
+Pattern: ``mapInPandas`` over batches — media rows are big, so the
+iterator form lets one task stream many small Arrow batches instead of
+materializing a partition (spark.sql.execution.arrow.maxRecordsPerBatch
+caps batch memory; set files.maxPartitionBytes so a partition of blobs
+fits the executor).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """STUB — deterministic fake decode. A real deployment replaces this
+    with PIL/libvips/ffmpeg; everything around it (batching, schema,
+    partitioning) is production-shaped. Raises on empty payload like a
+    real codec would."""
+    if not payload:
+        raise ValueError("empty media payload")
+    # deterministic pseudo-pixels from the payload bytes
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    side = max(int(len(arr) ** 0.5), 1)
+    return np.resize(arr, (side, side)).astype(np.float32)
+
+
+def _phash64(pixels: np.ndarray) -> int:
+    """8×8 average-hash over the decoded frame — the reference's
+    perceptual aHash (helpers.py:44-53) re-expressed on our fake
+    decode; bit i = cell mean > global mean."""
+    cells = np.resize(pixels, (8, 8))
+    bits = (cells > cells.mean()).flatten()
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """media rows → (media_id, kind, n_bytes, phash, feature) via
+    mapInPandas. Batch shape: the iterator yields one output frame per
+    input Arrow batch — constant memory regardless of partition size."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "n_bytes": [], "phash": [], "feature": []}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    pixels = _decode_image_stub(payload)
+                    ph = _phash64(pixels)
+                    feat = np.resize(pixels.flatten(), feature_dim)
+                    norm = float(np.linalg.norm(feat)) or 1.0
+                    feat = (feat / norm).astype(np.float32).tolist()
+                except ValueError:
+                    ph, feat = 0, None  # quarantine, don't fail the task (P2)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(payload))
+                out["phash"].append(ph)
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests/bench (no codecs in the
+    container — payload bytes are seeded pseudo-random)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        size = int(rng.randint(256, 4096))
+        payload = rng.bytes(size) if i % 7 else b""  # some broken rows
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64,
+                64,
+                1000 if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def near_dup_media_pairs(features: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Perceptual-hash near-dup pairs over extracted features — the
+    media analog of the simhash mode: chunk join + bit_count verify."""
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("phash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    a = features.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+    )
+    b = features.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for a training-data pipeline.
+
+First-class pipeline stages (task brief: language-ID, quality scoring,
+token counting, document fingerprinting) — all pure built-in column
+expressions (JVM, whole-stage codegen); nothing here touches Python at
+runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# crude English-stopword regex for the n-gram language heuristic
+_EN_STOPWORDS = r"(?i)\b(the|a|an|of|to|in|and|is|it|for|on|with)\b"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish refinement in tokenize_bpe_ish)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: words, numbers, and punctuation runs
+    counted separately (a cheap proxy for BPE token budgeting)."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda t: F.length(F.trim(t)) > 0,
+        )
+    )
+
+
+def stopword_hits(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(_EN_STOPWORDS))
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language ID: stopword density ≥ 2/100 tokens → 'en',
+    any text → 'unknown' when too short to call."""
+    toks = token_count(text)
+    density = stopword_hits(text).cast("double") / F.greatest(toks, F.lit(1))
+    return (
+        F.when(toks < 5, F.lit("unknown"))
+        .when(density >= 0.02, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """[0, 10000] quality proxy in basis points: penalizes very short
+    docs, high punctuation ratio, and low distinct-token ratio
+    (boilerplate/spam markers). Integer output (floor of bp) so scores
+    compare exactly across engines — decimal rounding of doubles is
+    engine-dependent at .5 boundaries."""
+    n_chars = F.length(text)
+    toks = token_count(text)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(F.split(F.trim(text), r"\s+"))).cast(
+        "double"
+    ) / F.greatest(toks, F.lit(1))
+    length_term = F.least(n_chars.cast("double") / 200.0, F.lit(1.0))
+    score = length_term * (1.0 - punct_ratio) * (0.5 + 0.5 * distinct_ratio)
+    return F.floor(score * 10000).cast("long")
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 over casefolded,
+    whitespace-collapsed text — catches formatting-only duplicates that
+    sha256(content) misses."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("lang_id", language_id(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("fingerprint", content_fingerprint(t))
+    )
+
+
+def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact character-n-gram Jaccard as a pure built-in expression
+    (V8's SQL-expressible little sibling — used as the DuckDB-checkable
+    verify oracle; the Arrow UDF in operators/verify.py is the scale
+    path for long contents)."""
+
+    def grams(c: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+                lambda i: c.substr(i, F.lit(n)),
+            )
+        )
+    ga, gb = grams(a), grams(b)
+    inter = F.size(F.array_intersect(ga, gb))
+    union = F.size(ga) + F.size(gb) - inter
+    return F.when(union == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )

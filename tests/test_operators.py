@@ -1,0 +1,123 @@
+"""Operator-level tests: band/as-of joins, text stats, ANN, multimodal
+plumbing, and the driver entry contract."""
+
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplidog_spark import fixtures as FX
+from deduplidog_spark.operators.bandjoin import asof_nearest, band_join
+from deduplidog_spark.operators.multimodal import (
+    extract_media_features,
+    near_dup_media_pairs,
+    synthesize_media,
+)
+from deduplidog_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from deduplidog_spark.operators.textstats import with_text_stats
+
+
+def _events(spark):
+    rows = [
+        (1, 10, FX.T0),
+        (2, 10, FX.T0 + timedelta(seconds=50)),
+        (3, 10, FX.T0 + timedelta(seconds=200)),
+        (4, 20, FX.T0 + timedelta(seconds=30)),  # other user
+        (5, 10, FX.T0 - timedelta(seconds=59)),
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+
+def test_band_join_exact_band(spark):
+    e = _events(spark)
+    pairs = band_join(e, e, ["user_id"], "ts", 60.0)
+    got = {
+        (r.a_event_id, r.b_event_id)
+        for r in pairs.filter(F.col("a_event_id") < F.col("b_event_id")).collect()
+    }
+    # |Δ| ≤ 60 within user 10: (1,2) Δ50, (1,5) Δ59; (2,3) Δ150 no; (2,5) Δ109 no
+    assert got == {(1, 2), (1, 5)}
+
+
+def test_asof_nearest_picks_closest(spark):
+    left = spark.createDataFrame(
+        [(100, 10, FX.T0 + timedelta(seconds=100))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = _events(spark)
+    out = asof_nearest(left, right, ["user_id"], "ts", 300.0, "event_id").collect()
+    assert len(out) == 1
+    assert out[0].b_event_id == 2  # Δ50 beats Δ100 (id 1) and Δ100 (id 3)
+
+
+def test_text_stats_columns(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in a field of grass"),
+        (2, "x"),
+        (3, "foo foo foo foo foo foo foo foo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_text_stats(df).collect()}
+    assert out[1].n_tokens == 14
+    assert out[1].lang_id == "en"
+    assert out[2].lang_id == "unknown"
+    assert out[3].lang_id == "other"  # no stopwords
+    assert out[3].quality < out[1].quality  # repetition penalized
+    assert out[1].fingerprint == out[1].fingerprint
+
+
+def test_brute_force_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df.filter("vec_id = 0"), df, k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 3]
+
+
+def test_lsh_ann_recall_on_tight_clusters(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(5, 16)
+    rows = []
+    for i in range(100):
+        c = centers[i % 5]
+        rows.append((i, (c + rng.randn(16) * 0.01).astype("float32").tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = brute_force_topk(df.filter("vec_id < 10"), df, k=3)
+    approx = lsh_ann_topk(df.filter("vec_id < 10"), df, dim=16, k=3, n_planes=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"ANN recall {recall}"
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthesize_media(spark, n=32)
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    good = [r for r in rows if r.feature is not None]
+    bad = [r for r in rows if r.feature is None]
+    assert bad, "empty payloads must be quarantined, not crash the task"
+    assert all(len(r.feature) == 16 for r in good)
+    assert all(r.n_bytes > 0 for r in good)
+    # deterministic: same payload → same phash
+    again = {r.media_id: r.phash for r in extract_media_features(media).collect()}
+    assert all(again[r.media_id] == r.phash for r in rows)
+    # pair machinery runs end-to-end
+    near_dup_media_pairs(feats).count()
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25
