@@ -319,9 +319,11 @@ def q_minhash_pairs(spark, sf_dir):
     (probabilistic banding → rows-only check; q_ngram_jaccard is the
     SQL-checkable verify analog)."""
     docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    # bands=32 (r=4, S-curve ≈ 0.42): r=2 banding admits the testdata
+    # documents' high background word-vocab similarity quadratically
     cfg = DedupConfig(
         mode="minhash", jaccard_threshold=0.35, sig_est_threshold=0.2,
-        lsh_bands=64, size_ratio_prefilter=0.3,
+        lsh_bands=32, size_ratio_prefilter=0.3,
     )
     files = ingest(docs, cfg).withColumn("fid", F.concat_ws("/", "repo", "path"))
     sigs = mh.with_signatures(files, cfg)

@@ -1,0 +1,178 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: files/sec of the full minhash dedup pipeline
+(signatures → LSH → verify → connected components → plan) on a
+deterministic synthetic source-code corpus, plus per-query timings of
+representative operators at $SPARK_GRAFT_SF_DIR.
+
+Scaling evidence (north_rule: throughput efficiency ≥ 0.8 from N to 4N
+executors; sandbox proxy = local[N] vs local[4N] on the same input):
+run with SPARK_GRAFT_SCALING=1 to execute the same dedup job at
+local[SCALING_N] and local[4·SCALING_N] and report both throughputs +
+efficiency = throughput_4N / (4 · throughput_N). Results also appended
+to BENCH.md.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_ROWS (default 40000),
+SPARK_GRAFT_SCALING (default 0), SPARK_GRAFT_SCALING_N (default 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "40000"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "0") == "1"
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+
+
+def _mk_spark(cores: int):
+    from deduplidog_spark.session import get_spark
+
+    return get_spark(
+        f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def _dedup_job(spark, corpus_df):
+    """The headline job: full near-dup pipeline, forced to completion."""
+    from deduplidog_spark.config import DedupConfig
+    from deduplidog_spark.pipeline import dedupe
+
+    # shingle_k=9 for code-ish corpora: token-vocab text has high
+    # background 5-gram similarity, and background-J × N²/2 band
+    # collisions is what kills LSH at scale (measured: k=5 → 5.2M
+    # candidates for 40k docs; k=9 → background J ≈ 0.01)
+    cfg = DedupConfig(
+        mode="minhash", shingle_k=9, jaccard_threshold=0.6, sig_est_threshold=0.45
+    )
+    res = dedupe(corpus_df, cfg)
+    return res.plan.count()
+
+
+def run_once(cores: int, corpus_path: str, n_rows: int) -> tuple[float, int]:
+    spark = _mk_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up the executor pool + python workers: cluster spin-up is
+    # startup cost, not throughput (same as excluding executor
+    # provisioning on a real cluster)
+    from pyspark.sql import functions as WF
+
+    spark.range(10000).select(WF.sha2(WF.col("id").cast("string"), 256)).count()
+    corpus = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    n_plan = _dedup_job(spark, corpus)
+    dt = time.time() - t0
+    spark.stop()
+    return dt, n_plan
+
+
+def _scale_subprocess(cores: int, corpus_dir: str, n_rows: int) -> float:
+    """One isolated measurement in a fresh JVM (sequential sessions in
+    one process share heap/GC state and contaminate timings)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--once", str(cores), corpus_dir, str(n_rows)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    import tempfile
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--once":
+        cores, corpus_dir, n_rows = int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+        dt, _ = run_once(cores, corpus_dir, n_rows)
+        print(dt)
+        return
+
+    results: dict[str, float] = {}
+
+    spark = _mk_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # materialize the synthetic corpus once (generation excluded from timing)
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"bench_corpus_{BENCH_ROWS}")
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        from deduplidog_spark.benchgen import synth_corpus
+
+        synth_corpus(spark, BENCH_ROWS).write.mode("overwrite").parquet(corpus_dir)
+
+    corpus = spark.read.parquet(corpus_dir)
+
+    # headline: dedup pipeline throughput
+    t0 = time.time()
+    n_plan = _dedup_job(spark, corpus)
+    dedup_sec = time.time() - t0
+    results["dedup_synth"] = round(dedup_sec, 3)
+    files_per_sec = BENCH_ROWS / dedup_sec
+
+    # representative operator queries at SF_DIR
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in (
+        "agg_counters",
+        "equi_join_agg",
+        "topk_per_group",
+        "band_join",
+        "asof_nearest",
+        "ngram_jaccard",
+        "cosine_topk",
+        "minhash_pairs",
+        "dedup_pipeline",
+        "token_count",
+        "quality",
+    ):
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        results[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    out = {
+        "metric": "dedup_files_per_sec",
+        "value": round(files_per_sec, 1),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "bench_rows": BENCH_ROWS,
+        "plan_rows": n_plan,
+        "cores": CPUS,
+    }
+
+    if DO_SCALING:
+        n, n4 = SCALING_N, 4 * SCALING_N
+        t_n = min(_scale_subprocess(n, corpus_dir, BENCH_ROWS) for _ in range(2))
+        t_4n = min(_scale_subprocess(n4, corpus_dir, BENCH_ROWS) for _ in range(2))
+        thr_n = BENCH_ROWS / t_n
+        thr_4n = BENCH_ROWS / t_4n
+        eff = thr_4n / (4.0 * thr_n)
+        out["scaling"] = {
+            "n_cores": n,
+            "t_n_sec": round(t_n, 2),
+            "files_per_sec_n": round(thr_n, 1),
+            "n4_cores": n4,
+            "t_4n_sec": round(t_4n, 2),
+            "files_per_sec_4n": round(thr_4n, 1),
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

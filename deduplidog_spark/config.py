@@ -50,7 +50,8 @@ class DedupConfig:
     # --- near-dup mode (generalizes media_magic, deduplidog.py:131-153)
     mode: str = "name"  # name | exact | minhash | simhash | substring
     shingle_k: int = 5  # char-shingle width
-    num_perm: int = 128  # MinHash permutations
+    num_perm: int = 128  # MinHash permutations (OPH bins)
+    minhash_impl: str = "oph"  # oph (one-pass, default) | kperm (classic)
     lsh_bands: int = 32  # bands (rows = num_perm // bands)
     jaccard_threshold: float = 0.7  # V8 verify τ
     sig_est_threshold: float = 0.5  # cheap signature-estimate pre-filter

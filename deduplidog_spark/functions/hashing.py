@@ -86,6 +86,41 @@ def minhash_signature(
     return sig.astype(np.int64)
 
 
+def oph_signature(shingle_hashes_u64: np.ndarray, num_perm: int) -> np.ndarray:
+    """One-Permutation-Hashing MinHash with rotation densification
+    (Shrivastava & Li, ICML'14 "Densifying One Permutation Hashing via
+    Rotation"): one pass over the shingles — each hash is routed to
+    bin h mod P and the bin keeps its minimum — instead of P passes.
+    O(m) vs the classic O(P·m): at P=128 this removes ~99% of the
+    signature stage's FLOPs and memory traffic, which is what the
+    whole pipeline's scaling is bound by.
+
+    Empty bins (rare for m ≫ P) borrow the value of the nearest
+    filled bin to the right (cyclic) plus an offset, so identical
+    shingle sets still produce identical signatures and collision
+    probabilities stay unbiased."""
+    h = shingle_hashes_u64
+    bins = (h % np.uint64(num_perm)).astype(np.int64)
+    vals = ((h >> np.uint64(33)) & np.uint64(0x7FFFFFFF)).astype(np.uint64)
+    maxv = np.uint64(0xFFFFFFFFFFFFFFFF)
+    sig = np.full(num_perm, maxv, dtype=np.uint64)
+    np.minimum.at(sig, bins, vals)
+    empty = sig == maxv
+    if empty.any():
+        if empty.all():
+            return np.zeros(num_perm, dtype=np.int64)
+        idx = np.arange(num_perm)
+        for shift in range(1, num_perm):
+            src = sig[(idx + shift) % num_perm]
+            fill = empty & (src != maxv)
+            if fill.any():
+                sig[fill] = src[fill] + np.uint64(shift)
+                empty = sig == maxv
+            if not empty.any():
+                break
+    return sig.astype(np.int64)
+
+
 def simhash64(shingle_hashes: np.ndarray) -> int:
     """64-bit SimHash over (multiplicity-weighted) shingle hashes —
     the analog of the reference's 64-bit average_hash (helpers.py:44-53).

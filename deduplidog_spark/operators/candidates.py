@@ -31,22 +31,22 @@ def lsh_candidate_pairs(
     """band rows (fid, band_id, band_hash) → distinct pairs
     (id_a < id_b). Returns (pairs, dropped_buckets_report).
 
-    The heavy-bucket blacklist is tiny (it is the skew, by definition)
-    → broadcast anti-join, no shuffle of the big side beyond the one
-    the join itself needs.
+    Bucket sizes come from a window count over the same shuffle the
+    join needs anyway (one pass — a separate groupBy + broadcast
+    anti-join would add two more jobs and a second scan of the band
+    table); the band table is materialized once and reused for both
+    join sides.
     """
-    sizes = band_rows.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_size")
-    )
-    heavy = sizes.filter(F.col("bucket_size") > cfg.max_bucket_size)
-    dropped_report = heavy.select(
-        "band_id", "band_hash", "bucket_size"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = band_rows.withColumn("bucket_size", F.count("*").over(w)).localCheckpoint()
+    dropped_report = (
+        sized.filter(F.col("bucket_size") > cfg.max_bucket_size)
+        .select("band_id", "band_hash", "bucket_size")
+        .dropDuplicates(["band_id", "band_hash"])
     )  # logged, per standard LSH practice — SURVEY §4.3
-    pruned = band_rows.join(
-        F.broadcast(heavy.select("band_id", "band_hash")),
-        ["band_id", "band_hash"],
-        "left_anti",
-    )
+    pruned = sized.filter(F.col("bucket_size") <= cfg.max_bucket_size)
     a = pruned.select(
         F.col("band_id"), F.col("band_hash"), F.col("fid").alias("id_a")
     )

@@ -36,16 +36,25 @@ def connected_components(
     edge list joined with current labels — keys are file ids (unique,
     no skew). Early-exits when an iteration changes no label.
     """
+    # single pass over (possibly expensive, lazy) edges: emit both
+    # directions via explode instead of a self-union, which would scan
+    # the edge-producing plan twice
     und = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     und = und.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
 
+    # initial labels derive from the (already materialized) edge list —
+    # no separate checkpoint job; iteration 1 computes them inline
     labels = (
         und.select(F.col("src").alias("fid"))
         .distinct()
         .withColumn("component", F.col("fid"))
-        .localCheckpoint()
     )
 
     for i in range(max_iterations):

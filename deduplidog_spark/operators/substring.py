@@ -35,7 +35,7 @@ def make_fingerprint_udf(cfg: DedupConfig):
             if text is None or (max_size is not None and len(text) > max_size):
                 out.append(None)
                 continue
-            out.append(H.winnow_fingerprints(text, k, window).tolist())
+            out.append(H.winnow_fingerprints(text, k, window))
         return pd.Series(out)
 
     return winnow

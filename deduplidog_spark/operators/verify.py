@@ -78,26 +78,37 @@ def make_edit_ratio_udf():
 
 
 def verify_candidate_pairs(
-    pairs: DataFrame, files: DataFrame, cfg: DedupConfig, sigs: DataFrame | None = None
+    pairs: DataFrame,
+    files: DataFrame,
+    cfg: DedupConfig,
+    sigs: DataFrame | None = None,
+    contents: DataFrame | None = None,
 ) -> DataFrame:
     """pairs (id_a, id_b) → verified pairs with ``jaccard``.
 
-    ``files`` must carry (fid, size, content); ``sigs`` optionally
-    (fid, sig) for the signature-agreement gate.
+    Staged narrow-to-wide: each gate joins only the columns it needs —
+    (size) first, then (sig), and full content only for the survivors
+    of both. At scale the candidate set can be orders of magnitude
+    larger than the verified set (background shingle similarity ×
+    N²/2 band collisions), so shuffling 1-2 KB contents per candidate
+    is the difference between a 10s and a 100s verify stage.
+
+    ``files`` must carry (fid, size); content for the exact stage comes
+    from ``contents`` (fid, content) when given — typically the raw
+    scan, so the (small) surviving pair set broadcasts against it and
+    content never crosses a shuffle — else from ``files``.
+    ``sigs`` (fid, sig) optionally enables the signature-agreement gate.
     """
-    fa = files.select(
-        F.col("fid").alias("id_a"),
-        F.col("size").alias("size_a"),
-        F.col("content").alias("content_a"),
-    )
-    fb = files.select(
-        F.col("fid").alias("id_b"),
-        F.col("size").alias("size_b"),
-        F.col("content").alias("content_b"),
-    )
-    out = pairs.join(fa, "id_a").join(fb, "id_b")
-    out = out.filter(
-        size_ratio_gate(F.col("size_a"), F.col("size_b"), cfg.size_ratio_prefilter)
+    szs = files.select("fid", "size")
+    if contents is None:
+        contents = files.select("fid", "content")
+    out = (
+        pairs.join(szs.withColumnRenamed("fid", "id_a").withColumnRenamed("size", "size_a"), "id_a")
+        .join(szs.withColumnRenamed("fid", "id_b").withColumnRenamed("size", "size_b"), "id_b")
+        .filter(
+            size_ratio_gate(F.col("size_a"), F.col("size_b"), cfg.size_ratio_prefilter)
+        )
+        .select("id_a", "id_b")
     )
     if sigs is not None:
         sa = sigs.select(F.col("fid").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -109,13 +120,18 @@ def verify_candidate_pairs(
                 signature_agreement(F.col("sig_a"), F.col("sig_b"))
                 >= cfg.sig_est_threshold
             )
-            .drop("sig_a", "sig_b")
+            .select("id_a", "id_b")
         )
     if cfg.exact_verify:
+        ca = contents.select(F.col("fid").alias("id_a"), F.col("content").alias("content_a"))
+        cb = contents.select(F.col("fid").alias("id_b"), F.col("content").alias("content_b"))
         jac = make_jaccard_udf(cfg)
-        out = out.withColumn(
-            "jaccard", jac(F.col("content_a"), F.col("content_b"))
-        ).filter(F.col("jaccard") >= cfg.jaccard_threshold)
+        out = (
+            out.join(ca, "id_a")
+            .join(cb, "id_b")
+            .withColumn("jaccard", jac(F.col("content_a"), F.col("content_b")))
+            .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+        )
     else:
         out = out.withColumn("jaccard", F.lit(None).cast("double"))
     return out.select("id_a", "id_b", "jaccard")

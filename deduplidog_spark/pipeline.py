@@ -49,9 +49,13 @@ class DedupResult:
     dropped_buckets: DataFrame | None = None  # LSH skew-cap log
 
 
-def _ckpt(df: DataFrame, cfg: DedupConfig, stage: str) -> DataFrame:
+def _ckpt(df: DataFrame, cfg: DedupConfig, stage: str, reuse: bool = True) -> DataFrame:
     """Stage checkpoint: parquet round-trip when checkpoint_dir is set
-    (resumable, truncates lineage); localCheckpoint otherwise."""
+    (resumable, truncates lineage). Without a checkpoint_dir, stages
+    consumed by several downstream operators (``reuse=True``) are
+    localCheckpointed so each consumer doesn't re-execute the UDF
+    stage; single-consumer stages stay lazy — every eager
+    materialization is a driver-side barrier that caps scaling."""
     if cfg.checkpoint_dir:
         path = os.path.join(cfg.checkpoint_dir, stage)
         marker = os.path.join(path, "_SUCCESS")
@@ -59,7 +63,7 @@ def _ckpt(df: DataFrame, cfg: DedupConfig, stage: str) -> DataFrame:
         if not os.path.exists(marker):
             df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
-    return df
+    return df.localCheckpoint() if reuse else df
 
 
 def _with_fid(df: DataFrame) -> DataFrame:
@@ -73,29 +77,43 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
     Only one representative per distinct sha enters the LSH stage; the
     exact-dup star edges are unioned back in afterwards.
     """
-    reps = files.dropDuplicates(["sha"])
+    # Shuffle-only-hashes design: signatures/bands are computed in the
+    # scan stage (no shuffle carries content or even the full signature
+    # array). Exact-dup collapse happens on the slim (sha, fid) pairs —
+    # winners semi-join back — and the exact-verify stage re-reads
+    # content from the scan, where Catalyst broadcasts the (small)
+    # surviving pair set against it. Content never crosses a shuffle;
+    # at 100 TB that is the difference between shuffling ~hashes
+    # (≤ 3% of input bytes) and shuffling the corpus itself.
+    contents = files.select("fid", "content")
     if cfg.mode == "minhash":
-        sigs = mh.with_signatures(reps, cfg)
-        sigs = _ckpt(
-            sigs.select("fid", "size", "content", "sig"), cfg, "minhash_sigs"
+        sigs = mh.with_band_hashes(mh.with_signatures(files, cfg), cfg)
+        # band hashes (32 longs) replace the full signature in the
+        # materialized table — ~4× smaller; the exact-Jaccard stage is
+        # the precision gate, so the signature-agreement estimate adds
+        # nothing the bands + exact verify don't already give
+        slim = _ckpt(
+            sigs.select("fid", "sha", "size", "band_hashes"), cfg, "minhash_bands"
         )
-        bands = mh.with_band_hashes(sigs, cfg)
-        band_rows = mh.explode_bands(bands)
+        winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
+        reps = slim.join(winners, "fid", "left_semi")
+        band_rows = mh.explode_bands(reps)
         pairs, dropped = lsh_candidate_pairs(band_rows, cfg)
-        verified = verify_candidate_pairs(
-            pairs, sigs, cfg, sigs=sigs.select("fid", "sig")
-        )
+        verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)
     elif cfg.mode == "simhash":
-        sigs = sh.with_simhash(reps, cfg)
-        sigs = _ckpt(
-            sigs.select("fid", "size", "content", "simhash"), cfg, "simhash_sigs"
+        sigs = sh.with_simhash_chunks(sh.with_simhash(files, cfg), cfg)
+        slim = _ckpt(
+            sigs.select("fid", "sha", "size", "band_hashes", "simhash"),
+            cfg,
+            "simhash_bands",
         )
-        chunked = sh.with_simhash_chunks(sigs, cfg)
-        band_rows = mh.explode_bands(chunked)
+        winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
+        reps = slim.join(winners, "fid", "left_semi")
+        band_rows = mh.explode_bands(reps)
         pairs, dropped = lsh_candidate_pairs(band_rows, cfg)
         # verify by Hamming distance (V4 analog), then optional exact Jaccard
-        ha = sigs.select(F.col("fid").alias("id_a"), F.col("simhash").alias("sh_a"))
-        hb = sigs.select(F.col("fid").alias("id_b"), F.col("simhash").alias("sh_b"))
+        ha = slim.select(F.col("fid").alias("id_a"), F.col("simhash").alias("sh_a"))
+        hb = slim.select(F.col("fid").alias("id_b"), F.col("simhash").alias("sh_b"))
         pairs = (
             pairs.join(ha, "id_a")
             .join(hb, "id_b")
@@ -105,15 +123,17 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
             )
             .select("id_a", "id_b")
         )
-        verified = verify_candidate_pairs(pairs, sigs, cfg, sigs=None)
+        verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)
     elif cfg.mode == "substring":
-        fps = ss.with_fingerprints(reps, cfg)
-        fps = _ckpt(
-            fps.select("fid", "size", "content", "band_hashes"), cfg, "winnow_fps"
+        fps = ss.with_fingerprints(files, cfg)
+        slim = _ckpt(
+            fps.select("fid", "sha", "size", "band_hashes"), cfg, "winnow_bands"
         )
-        band_rows = ss.explode_fingerprints(fps)
+        winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
+        reps = slim.join(winners, "fid", "left_semi")
+        band_rows = ss.explode_fingerprints(reps)
         pairs, dropped = lsh_candidate_pairs(band_rows, cfg)
-        verified = verify_candidate_pairs(pairs, fps, cfg, sigs=None)
+        verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)
     else:
         raise ValueError(f"near_dup_edges: unsupported mode {cfg.mode!r}")
     return verified.select("id_a", "id_b"), dropped
@@ -126,13 +146,23 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
     - 'name'     — name/size/date matcher (reference default)
     - 'minhash' / 'simhash' / 'substring' — near-dup LSH modes
     """
-    files = _with_fid(ingest(raw, cfg))
+    # Two views of the ingested table:
+    # - files_full: lazily re-derived from the scan; carries content,
+    #   consumed exactly once by the signature/verify path;
+    # - files: slim projection (no content) materialized once — it
+    #   feeds exact edges, keeper election, and metrics. Materializing
+    #   content here would double the pipeline's I/O volume: content is
+    #   ~95% of the bytes and memory/disk bandwidth is the shared
+    #   resource that does NOT scale with cores.
+    files_full = _with_fid(ingest(raw, cfg))
+    slim_cols = [c for c in files_full.columns if c != "content"]
+    files = _ckpt(files_full.select(*slim_cols), cfg, "files")
     dropped = None
 
     if cfg.mode == "exact":
         edges = exact_dup_pairs(files)
     elif cfg.mode == "name":
-        matches = name_date_matches(files, cfg)
+        matches = name_date_matches(files_full, cfg)
         if cfg.invert_selection:
             # J8: result is the no-match work set — no clustering stage
             edges = files.sparkSession.createDataFrame(
@@ -161,18 +191,21 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
             F.concat_ws("/", "w_repo", "w_path").alias("id_b"),
         )
     else:
-        near, dropped = near_dup_edges(files, cfg)
+        near, dropped = near_dup_edges(files_full, cfg)
         exact = exact_dup_pairs(files)
         # expand representative-level near edges back over sha groups is
         # unnecessary: exact star edges already tie every copy to its
         # representative's component.
         edges = near.union(exact).dropDuplicates(["id_a", "id_b"])
 
-    edges = _ckpt(edges, cfg, "edges")
+    # edges feed only connected_components (which materializes its own
+    # undirected edge list), labels feed only the keeper window, the
+    # plan is consumed lazily — none need an eager barrier here
+    edges = _ckpt(edges, cfg, "edges", reuse=False)
     labels = connected_components(edges, cfg.cc_max_iterations)
-    labels = _ckpt(labels, cfg, "cc_labels")
+    labels = _ckpt(labels, cfg, "cc_labels", reuse=False)
     clusters = elect_keepers(files, labels, cfg)
     plan = action_plan(clusters, cfg)
-    plan = _ckpt(plan, cfg, "plan")
+    plan = _ckpt(plan, cfg, "plan", reuse=False)
     metrics = run_metrics(plan, files)
     return DedupResult(files, edges, clusters, plan, metrics, dropped)

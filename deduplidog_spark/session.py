@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64MB advisory size lets AQE coalesce our compact
+        # shuffles (hashes + signatures, not raw content) down to 1-4
+        # partitions, serializing the pandas-UDF stages; 8MB keeps
+        # partition count ≈ cores at bench scale while still coalescing
+        # pathological fan-outs at 100TB scale
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # generous broadcast threshold: dims (nation/region/config tables)
