@@ -311,6 +311,77 @@ def q_cosine_topk(spark, sf_dir):
     return brute_force_topk(queries, emb, k=3)
 
 
+def q_salted_agg(spark, sf_dir):
+    """Skew-handled aggregation (SURVEY §4.3): the hot grouping key
+    (event_type, 5 values over all rows) is salted into 8 shards,
+    partially aggregated, then re-aggregated — two small shuffles
+    instead of one skewed one. Result identical to a plain GROUP BY."""
+    from deduplidog_spark.operators.candidates import salt_column
+
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salted_key", salt_column(F.col("event_type"), F.col("event_id"), 8)
+    )
+    partial = salted.groupBy("salted_key").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("pv"),
+    )
+    return (
+        partial.withColumn("event_type", F.substring_index("salted_key", "#", 1))
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").alias("sum_value_c"),
+        )
+    )
+
+
+def q_time_proximity_semi(spark, sf_dir):
+    """V6 analog: events with ANY other event of the same user within
+    ±300 s (exists/semi-join over a time band)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pairs = band_join(e, e, ["user_id"], "ts", 300.0)
+    near = pairs.filter(F.col("a_event_id") != F.col("b_event_id")).select(
+        F.col("a_event_id").alias("event_id")
+    )
+    return e.join(near, "event_id", "left_semi").select("event_id")
+
+
+def q_warning_gate(spark, sf_dir):
+    """X6 warning analog on the keeper window: docs bigger than their
+    group's elected keeper get a SIZE-WARNING flag
+    (deduplidog.py:529-538)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    cw = Window.partitionBy("source", "lang")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("keeper_chars", F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).over(cw))
+        .select(
+            "doc_id",
+            (F.col("rn") > 1).alias("is_duplicate"),
+            ((F.col("rn") > 1) & (F.col("n_chars") > F.col("keeper_chars"))).alias(
+                "size_warning"
+            ),
+        )
+    )
+
+
+def q_report_top(spark, sf_dir):
+    """Report-style ORDER BY + LIMIT: top-10 orders by value."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_c"),
+        )
+    )
+
+
 # ---- non-SQL-expressible (rows-only driver check) ------------------------
 
 
@@ -395,6 +466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "union_dedupe": q_union_dedupe,
         "cosine_topk": q_cosine_topk,
+        "salted_agg": q_salted_agg,
+        "time_proximity_semi": q_time_proximity_semi,
+        "warning_gate": q_warning_gate,
+        "report_top": q_report_top,
         "minhash_pairs": q_minhash_pairs,
         "simhash_sigs": q_simhash_sigs,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -563,6 +638,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
             UNION
             SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "salted_agg": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+            FROM events GROUP BY event_type
+        """,
+        "time_proximity_semi": """
+            SELECT event_id FROM events a
+            WHERE EXISTS (
+                SELECT 1 FROM events b
+                WHERE b.user_id = a.user_id AND b.event_id != a.event_id
+                  AND abs(epoch(a.ts) - epoch(b.ts)) <= 300)
+        """,
+        "warning_gate": """
+            SELECT doc_id, rn > 1 AS is_duplicate,
+                   rn > 1 AND n_chars > keeper_chars AS size_warning
+            FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source, lang
+                                          ORDER BY n_chars DESC, doc_id) AS rn,
+                       max(CASE WHEN rn0 = 1 THEN n_chars END)
+                           OVER (PARTITION BY source, lang) AS keeper_chars
+                FROM (
+                    SELECT *, row_number() OVER (PARTITION BY source, lang
+                                                 ORDER BY n_chars DESC, doc_id) AS rn0
+                    FROM documents))
+        """,
+        "report_top": """
+            SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "cosine_topk": """
             SELECT query_id, neighbor_id, cosine_sim, rank FROM (

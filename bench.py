@@ -44,20 +44,60 @@ def _mk_spark(cores: int):
     )
 
 
+BENCH_CFG = dict(
+    # shingle_k=9 for code-ish corpora: token-vocab text has high
+    # background 5-gram similarity, and background-J × N²/2 band
+    # collisions is what kills LSH at scale (measured: k=5 → 5.2M
+    # candidates for 40k docs; k=9 → background J ≈ 0.01)
+    mode="minhash",
+    shingle_k=9,
+    jaccard_threshold=0.6,
+    sig_est_threshold=0.45,
+)
+
+
 def _dedup_job(spark, corpus_df):
     """The headline job: full near-dup pipeline, forced to completion."""
     from deduplidog_spark.config import DedupConfig
     from deduplidog_spark.pipeline import dedupe
 
-    # shingle_k=9 for code-ish corpora: token-vocab text has high
-    # background 5-gram similarity, and background-J × N²/2 band
-    # collisions is what kills LSH at scale (measured: k=5 → 5.2M
-    # candidates for 40k docs; k=9 → background J ≈ 0.01)
-    cfg = DedupConfig(
-        mode="minhash", shingle_k=9, jaccard_threshold=0.6, sig_est_threshold=0.45
-    )
-    res = dedupe(corpus_df, cfg)
+    res = dedupe(corpus_df, DedupConfig(**BENCH_CFG))
     return res.plan.count()
+
+
+def _near_recall(spark, corpus_df, n_rows: int) -> float:
+    """Dup-pair recall vs planted ground truth (BASELINE.json metric):
+    truth = planted near pairs whose true shingle-Jaccard ≥ τ; found =
+    pairs co-clustered by the pipeline."""
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.benchgen import near_truth_pairs
+    from deduplidog_spark.config import DedupConfig
+    from deduplidog_spark.operators.verify import make_jaccard_udf
+    from deduplidog_spark.pipeline import dedupe
+
+    cfg = DedupConfig(**BENCH_CFG)
+    res = dedupe(corpus_df, cfg)
+    fidc = corpus_df.select(
+        F.concat_ws("/", "repo", "path").alias("fid"), "content"
+    )
+    jac = make_jaccard_udf(cfg)
+    truth = (
+        near_truth_pairs(spark, n_rows)
+        .join(fidc.select(F.col("fid").alias("id_a"), F.col("content").alias("ca")), "id_a")
+        .join(fidc.select(F.col("fid").alias("id_b"), F.col("content").alias("cb")), "id_b")
+        .filter(jac(F.col("ca"), F.col("cb")) >= cfg.jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+    labels = res.clusters.select("fid", "component")
+    found = (
+        truth.join(labels.withColumnRenamed("fid", "id_a").withColumnRenamed("component", "comp_a"), "id_a")
+        .join(labels.withColumnRenamed("fid", "id_b").withColumnRenamed("component", "comp_b"), "id_b")
+        .filter(F.col("comp_a") == F.col("comp_b"))
+    )
+    n_truth = truth.count()
+    n_found = found.count()
+    return (n_found / n_truth) if n_truth else 1.0
 
 
 def run_once(cores: int, corpus_path: str, n_rows: int) -> tuple[float, int]:
@@ -141,6 +181,11 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         results[name] = round(time.time() - t0, 3)
+
+    # dup-pair recall vs planted ground truth (reuses the pipeline DAG)
+    t0 = time.time()
+    recall = _near_recall(spark, corpus, BENCH_ROWS)
+    results["near_recall_check"] = round(time.time() - t0, 3)
     spark.stop()
 
     out = {
@@ -151,6 +196,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "bench_rows": BENCH_ROWS,
         "plan_rows": n_plan,
+        "near_dup_recall": round(recall, 4),
         "cores": CPUS,
     }
 

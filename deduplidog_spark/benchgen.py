@@ -25,6 +25,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _VOCAB = np.array(
     [
@@ -95,6 +96,24 @@ def synth_corpus(
             yield out
 
     return spark.range(n_rows).repartition(parts).mapInPandas(gen, _SCHEMA)
+
+
+def near_truth_pairs(spark: SparkSession, n_rows: int, n_repos: int = 100) -> DataFrame:
+    """The planted near-dup pairs implied by the id arithmetic
+    (id % 20 == 3 is a variant of id-1): (id_a, id_b) fids. The bench
+    filters these by true Jaccard ≥ τ (the variant edit positions make
+    a few pairs land under the threshold) and measures co-clustering
+    recall against that truth set."""
+
+    def fid(col):
+        return F.format_string(
+            "repo_%04d/src/f_%08d.py", F.pmod(col, F.lit(n_repos)), col
+        )
+
+    ids = spark.range(3, n_rows, 20)
+    return ids.select(
+        fid(F.col("id") - 1).alias("id_a"), fid(F.col("id")).alias("id_b")
+    )
 
 
 def true_pair_count(n_rows: int) -> dict[str, int]:

@@ -60,6 +60,7 @@ class DedupConfig:
     simhash_max_hamming: int = 3  # V4 analog (accepted_img_hash_diff)
     fingerprint_window: int = 16  # winnowing window (substring mode)
     fingerprint_k: int = 32  # substring fingerprint gram length
+    substring_min_len: int | None = None  # verified LCS ≥ this (default w+k-1)
     max_bucket_size: int = 200  # LSH bucket cap (skew guard; drops logged)
     size_ratio_prefilter: float = 0.5  # V5 analog: |len ratio| cheap gate
     hash_max_size: int | None = None  # F6: no signature above N bytes
@@ -111,6 +112,15 @@ class DedupConfig:
     @property
     def lsh_rows(self) -> int:
         return self.num_perm // self.lsh_bands
+
+    @property
+    def effective_substring_min_len(self) -> int:
+        """Winnowing guarantee boundary: any shared substring of
+        length ≥ window + k - 1 produces a shared fingerprint, so
+        that's the smallest length the mode can promise to find."""
+        if self.substring_min_len is not None:
+            return self.substring_min_len
+        return self.fingerprint_window + self.fingerprint_k - 1
 
     def with_(self, **kw) -> "DedupConfig":
         return replace(self, **kw)

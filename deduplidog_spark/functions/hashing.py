@@ -155,6 +155,32 @@ def winnow_fingerprints(text: str, k: int, window: int) -> np.ndarray:
     return np.unique(mins).astype(np.int64)
 
 
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Length of the longest common substring (byte-level), via binary
+    search over rolling-hash k-gram sets: a common substring of length
+    L implies a shared L-gram hash. O((n+m)·log min(n,m)) with the
+    vectorized rolling hash — the pair-level verifier for the
+    substring candidate mode (winnowing guarantees candidate recall;
+    this confirms the actual shared-block length). 64-bit hashes make
+    false positives negligible at these sizes."""
+    ba = a.encode("utf-8", errors="surrogatepass")
+    bb = b.encode("utf-8", errors="surrogatepass")
+    lo, hi = 0, min(len(ba), len(bb))
+
+    def shares_kgram(k: int) -> bool:
+        ha = shingle_hashes_u64(a, k)
+        hb = shingle_hashes_u64(b, k)
+        return bool(np.intersect1d(ha, hb).size)
+
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if shares_kgram(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 def jaccard_of_texts(a: str, b: str, k: int) -> float:
     """Exact shingle-set Jaccard — the verification oracle (V8)."""
     sa = shingle_set_u32(a, k)

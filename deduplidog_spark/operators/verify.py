@@ -42,6 +42,25 @@ def make_jaccard_udf(cfg: DedupConfig):
     return pair_jaccard
 
 
+def make_lcs_udf():
+    """Longest-common-substring length (pair-level) — the verifier for
+    substring mode: winnowing fingerprints guarantee candidates for any
+    shared block ≥ window+k-1 bytes; this measures the actual block."""
+
+    @pandas_udf(T.IntegerType())
+    def lcs_len(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                H.longest_common_substring_len(x, y)
+                if x is not None and y is not None
+                else 0
+                for x, y in zip(a, b)
+            ]
+        )
+
+    return lcs_len
+
+
 def make_edit_ratio_udf():
     """Normalized edit-distance similarity 1 - lev(a,b)/max(len) with a
     banded early-exit — ``F.levenshtein`` exists but materializes the
@@ -102,14 +121,19 @@ def verify_candidate_pairs(
     szs = files.select("fid", "size")
     if contents is None:
         contents = files.select("fid", "content")
-    out = (
-        pairs.join(szs.withColumnRenamed("fid", "id_a").withColumnRenamed("size", "size_a"), "id_a")
-        .join(szs.withColumnRenamed("fid", "id_b").withColumnRenamed("size", "size_b"), "id_b")
-        .filter(
-            size_ratio_gate(F.col("size_a"), F.col("size_b"), cfg.size_ratio_prefilter)
+    substring_mode = cfg.mode == "substring"
+    out = pairs
+    if not substring_mode:
+        # size-ratio gate is wrong for substring semantics: a shared
+        # 2 KB block inside a 1 MB file and a 4 KB file is a match
+        out = (
+            out.join(szs.withColumnRenamed("fid", "id_a").withColumnRenamed("size", "size_a"), "id_a")
+            .join(szs.withColumnRenamed("fid", "id_b").withColumnRenamed("size", "size_b"), "id_b")
+            .filter(
+                size_ratio_gate(F.col("size_a"), F.col("size_b"), cfg.size_ratio_prefilter)
+            )
+            .select("id_a", "id_b")
         )
-        .select("id_a", "id_b")
-    )
     if sigs is not None:
         sa = sigs.select(F.col("fid").alias("id_a"), F.col("sig").alias("sig_a"))
         sb = sigs.select(F.col("fid").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -125,13 +149,19 @@ def verify_candidate_pairs(
     if cfg.exact_verify:
         ca = contents.select(F.col("fid").alias("id_a"), F.col("content").alias("content_a"))
         cb = contents.select(F.col("fid").alias("id_b"), F.col("content").alias("content_b"))
-        jac = make_jaccard_udf(cfg)
-        out = (
-            out.join(ca, "id_a")
-            .join(cb, "id_b")
-            .withColumn("jaccard", jac(F.col("content_a"), F.col("content_b")))
-            .filter(F.col("jaccard") >= cfg.jaccard_threshold)
-        )
+        out = out.join(ca, "id_a").join(cb, "id_b")
+        if substring_mode:
+            # verify the actual shared-block length, not global overlap
+            lcs = make_lcs_udf()
+            out = out.withColumn(
+                "lcs_len", lcs(F.col("content_a"), F.col("content_b"))
+            ).filter(F.col("lcs_len") >= cfg.effective_substring_min_len)
+            out = out.withColumn("jaccard", F.lit(None).cast("double"))
+        else:
+            jac = make_jaccard_udf(cfg)
+            out = out.withColumn(
+                "jaccard", jac(F.col("content_a"), F.col("content_b"))
+            ).filter(F.col("jaccard") >= cfg.jaccard_threshold)
     else:
         out = out.withColumn("jaccard", F.lit(None).cast("double"))
     return out.select("id_a", "id_b", "jaccard")

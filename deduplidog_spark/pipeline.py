@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from deduplidog_spark.config import DedupConfig
 from deduplidog_spark.ingest import ingest
+from deduplidog_spark.metrics import record_lineage
 from deduplidog_spark.operators import minhash as mh
 from deduplidog_spark.operators import simhash as sh
 from deduplidog_spark.operators import substring as ss
@@ -62,6 +63,9 @@ def _ckpt(df: DataFrame, cfg: DedupConfig, stage: str, reuse: bool = True) -> Da
         spark = df.sparkSession
         if not os.path.exists(marker):
             df.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+            record_lineage(out, cfg.checkpoint_dir, stage)  # north_rule
+            return out
         return spark.read.parquet(path)
     return df.localCheckpoint() if reuse else df
 
