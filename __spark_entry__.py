@@ -382,6 +382,24 @@ def q_report_top(spark, sf_dir):
     )
 
 
+def q_edit_distance(spark, sf_dir):
+    """V8 edit-distance verify, SQL-checkable subset: consecutive-doc
+    pairs for doc_id < 20 (both engines implement classic Levenshtein)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a")
+    )
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b"))
+    return (
+        a.join(b, F.col("doc_id_b") == F.col("doc_id_a") + 1)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.levenshtein(F.col("text_a"), F.col("text_b")).alias("lev"),
+        )
+    )
+
+
 # ---- non-SQL-expressible (rows-only driver check) ------------------------
 
 
@@ -435,6 +453,48 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(queries, emb, dim=64, k=3, n_planes=6)
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only): binary payloads → mapInPandas
+    feature extraction (stub decode; real schema/batching/quarantine)."""
+    from deduplidog_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=96)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "phash"
+    )
+
+
+def q_media_near_pairs(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over media features (rows-only)."""
+    from deduplidog_spark.operators.multimodal import (
+        extract_media_features,
+        near_dup_media_pairs,
+        synthesize_media,
+    )
+
+    feats = extract_media_features(synthesize_media(spark, n=96))
+    return near_dup_media_pairs(feats, max_hamming=8)
+
+
+def q_lcs_verify(spark, sf_dir):
+    """Substring-mode pair verifier (rows-only): longest common
+    substring length for consecutive documents."""
+    from deduplidog_spark.operators.verify import make_lcs_udf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a")
+    )
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b"))
+    lcs = make_lcs_udf()
+    return a.join(b, F.col("doc_id_b") == F.col("doc_id_a") + 1).select(
+        "doc_id_a", "doc_id_b", lcs(F.col("text_a"), F.col("text_b")).alias("lcs_len")
+    )
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """Flagship end-to-end pipeline at the given sf (rows-only)."""
     docs = _docs_as_files(_t(spark, sf_dir, "documents"))
@@ -470,6 +530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_proximity_semi": q_time_proximity_semi,
         "warning_gate": q_warning_gate,
         "report_top": q_report_top,
+        "edit_distance": q_edit_distance,
+        "media_features": q_media_features,
+        "media_near_pairs": q_media_near_pairs,
+        "lcs_verify": q_lcs_verify,
         "minhash_pairs": q_minhash_pairs,
         "simhash_sigs": q_simhash_sigs,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -668,6 +732,12 @@ def oracle_sql() -> dict[str, str]:
         "report_top": """
             SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "edit_distance": """
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   levenshtein(a.text, b.text) AS lev
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id < 20
         """,
         "cosine_topk": """
             SELECT query_id, neighbor_id, cosine_sim, rank FROM (
