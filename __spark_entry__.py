@@ -11,10 +11,19 @@ order-insensitive value-hash comparison is deterministic.
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# the driver may import this file by path with any cwd — make the
+# package resolvable for the driver process too
+_ENTRY_DIR = os.path.dirname(os.path.abspath(__file__))
+if _ENTRY_DIR not in sys.path:
+    sys.path.insert(0, _ENTRY_DIR)
 
 from deduplidog_spark.config import DedupConfig
 from deduplidog_spark.ingest import ingest
@@ -30,7 +39,40 @@ from deduplidog_spark.operators.verify import verify_candidate_pairs
 from deduplidog_spark.pipeline import dedupe
 
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Make ``deduplidog_spark`` importable by Python workers even when
+    the session wasn't built by our factory and the driver cwd is
+    elsewhere: ship the package as a zip via addPyFile (idempotent per
+    SparkContext)."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PKG_SHIPPED:
+        return
+    zip_path = os.path.join(tempfile.gettempdir(), "deduplidog_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        import zipfile
+
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            pkg = os.path.join(_REPO_DIR, "deduplidog_spark")
+            for root, _dirs, fnames in os.walk(pkg):
+                if "__pycache__" in root:
+                    continue
+                for fn in fnames:
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, _REPO_DIR))
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added under another name — workers can import
+    _PKG_SHIPPED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pkg(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -461,6 +503,7 @@ def q_media_features(spark, sf_dir):
         synthesize_media,
     )
 
+    _ensure_pkg(spark)
     media = synthesize_media(spark, n=96)
     return extract_media_features(media).select(
         "media_id", "kind", "n_bytes", "phash"
@@ -475,6 +518,7 @@ def q_media_near_pairs(spark, sf_dir):
         synthesize_media,
     )
 
+    _ensure_pkg(spark)
     feats = extract_media_features(synthesize_media(spark, n=96))
     return near_dup_media_pairs(feats, max_hamming=8)
 
