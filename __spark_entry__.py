@@ -539,6 +539,27 @@ def q_lcs_verify(spark, sf_dir):
     )
 
 
+def q_repo_profiles(spark, sf_dir):
+    """Grouped-map applyInPandas per-source dedup profile (rows-only:
+    pandas interpolated quantiles aren't SQL-portable)."""
+    from deduplidog_spark.operators.groupstats import repo_profiles
+
+    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    files = ingest(docs, DedupConfig(mode="exact"))
+    return repo_profiles(files)
+
+
+def q_substring_pairs(spark, sf_dir):
+    """Winnowing substring candidate pairs on documents (rows-only)."""
+    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    cfg = DedupConfig(mode="substring", fingerprint_k=16, fingerprint_window=8)
+    files = ingest(docs, cfg).withColumn("fid", F.concat_ws("/", "repo", "path"))
+    fps = ss.with_fingerprints(files, cfg)
+    band_rows = ss.explode_fingerprints(fps)
+    pairs, _ = lsh_candidate_pairs(band_rows, cfg)
+    return pairs
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """Flagship end-to-end pipeline at the given sf (rows-only)."""
     docs = _docs_as_files(_t(spark, sf_dir, "documents"))
@@ -582,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sigs": q_simhash_sigs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "connected_components": q_connected_components,
+        "repo_profiles": q_repo_profiles,
+        "substring_pairs": q_substring_pairs,
         "ann_lsh": q_ann_lsh,
         "dedup_pipeline": q_dedup_pipeline,
     }
