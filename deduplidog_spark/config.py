@@ -124,3 +124,17 @@ class DedupConfig:
 
     def with_(self, **kw) -> "DedupConfig":
         return replace(self, **kw)
+
+    def fingerprint(self) -> str:
+        """Stable hash of every semantic knob (checkpoint_dir excluded —
+        it's where the stages live, not what they compute). Checkpointed
+        stage paths embed this so a rerun with a different config/mode
+        can never silently reuse another run's parquet stages."""
+        import dataclasses
+        import hashlib
+        import json
+
+        d = dataclasses.asdict(self)
+        d.pop("checkpoint_dir", None)
+        blob = json.dumps(d, sort_keys=True, default=str).encode()
+        return hashlib.sha1(blob).hexdigest()[:12]

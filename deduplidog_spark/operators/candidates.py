@@ -26,7 +26,7 @@ from deduplidog_spark.config import DedupConfig
 
 
 def lsh_candidate_pairs(
-    band_rows: DataFrame, cfg: DedupConfig
+    band_rows: DataFrame, cfg: DedupConfig, materialize=None
 ) -> tuple[DataFrame, DataFrame]:
     """band rows (fid, band_id, band_hash) → distinct pairs
     (id_a < id_b). Returns (pairs, dropped_buckets_report).
@@ -35,12 +35,17 @@ def lsh_candidate_pairs(
     join needs anyway (one pass — a separate groupBy + broadcast
     anti-join would add two more jobs and a second scan of the band
     table); the band table is materialized once and reused for both
-    join sides.
+    join sides. ``materialize`` is the caller's checkpoint hook (the
+    pipeline passes its parquet ``_ckpt`` so on a cluster the band
+    table survives executor loss and resumes across runs, instead of
+    pinning N×bands rows in executor storage via localCheckpoint).
     """
     from pyspark.sql import Window
 
+    if materialize is None:
+        materialize = lambda d: d.localCheckpoint()  # noqa: E731
     w = Window.partitionBy("band_id", "band_hash")
-    sized = band_rows.withColumn("bucket_size", F.count("*").over(w)).localCheckpoint()
+    sized = materialize(band_rows.withColumn("bucket_size", F.count("*").over(w)))
     dropped_report = (
         sized.filter(F.col("bucket_size") > cfg.max_bucket_size)
         .select("band_id", "band_hash", "bucket_size")

@@ -88,18 +88,25 @@ def connected_components(
 def elect_keepers(files: DataFrame, labels: DataFrame, cfg=None) -> DataFrame:
     """W3/W4: one canonical keeper per component.
 
-    Default ordering generalizes the reference's role election
-    (treat_bigger_as_original prefers the bigger file,
-    deduplidog.py:73-75,529-535; set_both_to_older_date propagates the
-    min mtime, deduplidog.py:681-696): keeper = biggest, then oldest,
-    then lexicographically-first member. Emits one row per clustered
-    file: (fid, component, is_keeper, duplicate_of, cluster_min_mtime).
+    Default ordering mirrors the reference's default role election: the
+    first file in deterministic scan order keeps (rglob order,
+    deduplidog.py:288,492 — our order-independent analog is fid asc),
+    regardless of size. ``treat_bigger_as_original`` flips the
+    preference to the biggest member (deduplidog.py:73-75,529-535),
+    then oldest, then first — making SIZE warnings / ``skip_bigger``
+    live only under the default, exactly like the reference (a bigger
+    duplicate is a warning unless the flag promotes it to keeper).
+    ``set_both_to_older_date`` propagates the min mtime
+    (deduplidog.py:681-696). Emits one row per clustered file:
+    (fid, component, is_keeper, duplicate_of, cluster_min_mtime).
     """
     fid = F.concat_ws("/", "repo", "path")
     members = files.withColumn("fid", fid).join(labels, "fid")
-    w = Window.partitionBy("component").orderBy(
-        F.col("size").desc(), F.col("mtime").asc(), F.col("fid").asc()
-    )
+    if cfg is not None and cfg.treat_bigger_as_original:
+        order = [F.col("size").desc(), F.col("mtime").asc(), F.col("fid").asc()]
+    else:
+        order = [F.col("fid").asc()]
+    w = Window.partitionBy("component").orderBy(*order)
     cluster_w = Window.partitionBy("component")
     out = (
         members.withColumn("_rank", F.row_number().over(w))

@@ -22,6 +22,7 @@ def exact_dup_groups(files: DataFrame, min_size: int = 1) -> DataFrame:
     """
     return (
         files.filter(F.col("size") >= min_size)
+        .filter(F.col("sha").isNotNull())
         .groupBy("sha")
         .agg(
             F.count("*").alias("n_files"),
@@ -40,7 +41,10 @@ def exact_dup_pairs(files: DataFrame) -> DataFrame:
     full clique: O(n) edges per group instead of O(n²), which is what
     keeps the 5%-boilerplate skew group (FIXTURES.md §3) from exploding.
     """
-    w = files.select(
+    # NULL sha (quarantined / undecodable content) must not group: a
+    # groupBy puts all NULL keys in one group, which would declare every
+    # quarantined row an exact duplicate of every other
+    w = files.filter(F.col("sha").isNotNull()).select(
         F.col("sha"), F.concat_ws("/", "repo", "path").alias("fid")
     )
     mins = w.groupBy("sha").agg(F.min("fid").alias("root"), F.count("*").alias("n"))

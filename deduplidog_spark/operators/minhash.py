@@ -80,7 +80,14 @@ def with_band_hashes(df: DataFrame, cfg: DedupConfig, sig_col: str = "sig") -> D
             for b in range(cfg.lsh_bands)
         ]
     )
-    return df.withColumn("band_hashes", bands)
+    # F6 gate / null content ⇒ sig is NULL; xxhash64(NULL,…,NULL) is a
+    # CONSTANT, so without this guard every gated row would collide
+    # into the same bucket in every band and be emitted as a mutual
+    # duplicate. A NULL array yields no posexplode rows: gated rows are
+    # excluded from near-dup candidates by construction.
+    return df.withColumn(
+        "band_hashes", F.when(F.col(sig_col).isNotNull(), bands)
+    )
 
 
 def explode_bands(df: DataFrame, id_col: str = "fid") -> DataFrame:

@@ -41,8 +41,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("phash", T.LongType()),
+        T.StructField("phash", T.LongType()),  # NULL when quarantined
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("quarantined", T.BooleanType()),  # P2: bad row, kept
     ]
 )
 
@@ -80,7 +81,10 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "kind": [], "n_bytes": [], "phash": [], "feature": []}
+            out = {
+                "media_id": [], "kind": [], "n_bytes": [], "phash": [],
+                "feature": [], "quarantined": [],
+            }
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
@@ -91,13 +95,19 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
                     feat = np.resize(pixels.flatten(), feature_dim)
                     norm = float(np.linalg.norm(feat)) or 1.0
                     feat = (feat / norm).astype(np.float32).tolist()
+                    bad = False
                 except ValueError:
-                    ph, feat = 0, None  # quarantine, don't fail the task (P2)
+                    # quarantine, don't fail the task (P2). phash must be
+                    # NULL, not a sentinel: any shared sentinel value would
+                    # make every quarantined pair Hamming-distance-0 "near
+                    # duplicates" in the chunk join.
+                    ph, feat, bad = None, None, True
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["n_bytes"].append(len(payload))
                 out["phash"].append(ph)
                 out["feature"].append(feat)
+                out["quarantined"].append(bad)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(feats, FEATURE_SCHEMA)
@@ -135,12 +145,13 @@ def near_dup_media_pairs(features: DataFrame, max_hamming: int = 4) -> DataFrame
             for i in range(4)
         ]
     )
-    a = features.select(
+    hashed = features.filter(F.col("phash").isNotNull())  # quarantined out
+    a = hashed.select(
         F.col("media_id").alias("id_a"),
         F.col("phash").alias("ph_a"),
         F.posexplode(chunks).alias("chunk_id", "chunk_val"),
     )
-    b = features.select(
+    b = hashed.select(
         F.col("media_id").alias("id_b"),
         F.col("phash").alias("ph_b"),
         F.posexplode(chunks).alias("chunk_id", "chunk_val"),

@@ -126,6 +126,8 @@ def with_warnings(matches: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
     warned = F.col("size_warning") | F.col("date_warning")
     action = F.when(
+        F.lit(cfg.skip_bigger) & F.col("size_warning"), F.lit("skipped")
+    ).when(
         warned & F.lit(not cfg.neglect_warning), F.lit("skipped")
     ).otherwise(F.lit(cfg.action))
     return out.withColumn("action_effective", action)
@@ -146,6 +148,105 @@ def name_date_matches(files: DataFrame, cfg: DedupConfig) -> DataFrame:
             "left_anti",
         )
     return with_warnings(first_match(verified), cfg)
+
+
+def pair_plan(matches: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Name-mode action plan straight from the per-pair match table —
+    role-aware, like the reference's ``_affect`` (deduplidog.py:523-566):
+
+    - the WORK file is affected, the ORIGINAL keeps — never the other
+      way around (role-blind cluster election could target an original
+      when e.g. action='delete' and the work file won a tie-break);
+    - ``treat_bigger_as_original`` swaps the pair's roles when the work
+      file is bigger (deduplidog.py:73-75,529-535): the bigger file
+      keeps, the original becomes the affected one;
+    - ``skip_bigger`` skips affecting a bigger work file outright
+      (deduplidog.py:76-78,536-540);
+    - SIZE/DATE warnings are evaluated on the post-swap roles and gate
+      the action to 'skipped' unless ``neglect_warning`` (X6,
+      deduplidog.py:541-566);
+    - ``set_both_to_older_date`` redates both sides of the pair to the
+      older mtime (X5, deduplidog.py:681-696).
+
+    One plan row per affected file + one 'keep' row per surviving
+    keeper. A file that is affected in one pair and keeper in another
+    (self-dedupe chains) ends affected — the reference's sequential
+    scan reaches it as a work file eventually too.
+    """
+    w_fid = F.concat_ws("/", "w_repo", "w_path")
+    o_fid = F.concat_ws("/", "o_repo", "o_path")
+    swap = F.lit(cfg.treat_bigger_as_original) & (
+        F.col("w_size") > F.col("o_size")
+    )
+
+    def pick(w_col: str, o_col: str):
+        return F.when(swap, F.col(o_col)).otherwise(F.col(w_col))
+
+    pairs = matches.select(
+        F.when(swap, o_fid).otherwise(w_fid).alias("fid"),
+        pick("w_repo", "o_repo").alias("repo"),
+        pick("w_path", "o_path").alias("path"),
+        pick("w_size", "o_size").alias("aff_size"),
+        pick("w_mtime", "o_mtime").alias("aff_mtime"),
+        F.when(swap, w_fid).otherwise(o_fid).alias("keep_fid"),
+        pick("o_repo", "w_repo").alias("keep_repo"),
+        pick("o_path", "w_path").alias("keep_path"),
+        pick("o_size", "w_size").alias("keep_size"),
+        pick("o_mtime", "w_mtime").alias("keep_mtime"),
+    )
+    size_warn = F.col("aff_size") > F.col("keep_size")
+    date_warn = (
+        F.col("keep_mtime").cast("double") - F.col("aff_mtime").cast("double")
+    ) >= 1.0
+    base = F.when(
+        F.lit(cfg.skip_bigger) & size_warn, F.lit("skipped")
+    ).otherwise(F.lit(cfg.action))
+    warned = size_warn | date_warn
+    effective = F.when(
+        warned & F.lit(not cfg.neglect_warning), F.lit("skipped")
+    ).otherwise(base)
+    older = F.least("aff_mtime", "keep_mtime")
+    aff_new_mtime = older if cfg.set_both_to_older_date else F.col("aff_mtime")
+
+    affected = pairs.select(
+        "fid",
+        "repo",
+        "path",
+        F.col("keep_fid").alias("component"),
+        F.lit(False).alias("is_keeper"),
+        F.col("keep_fid").alias("duplicate_of"),
+        base.alias("action"),
+        size_warn.alias("size_warning"),
+        date_warn.alias("date_warning"),
+        effective.alias("action_effective"),
+        aff_new_mtime.alias("new_mtime"),
+    )
+    keep_new_mtime = (
+        F.min(older) if cfg.set_both_to_older_date else F.min(F.col("keep_mtime"))
+    )
+    keepers = (
+        pairs.groupBy(F.col("keep_fid").alias("fid"))
+        .agg(
+            F.first("keep_repo").alias("repo"),
+            F.first("keep_path").alias("path"),
+            keep_new_mtime.alias("new_mtime"),
+        )
+        .join(affected.select("fid"), "fid", "left_anti")
+        .select(
+            "fid",
+            "repo",
+            "path",
+            F.col("fid").alias("component"),
+            F.lit(True).alias("is_keeper"),
+            F.lit(None).cast("string").alias("duplicate_of"),
+            F.lit("keep").alias("action"),
+            F.lit(False).alias("size_warning"),
+            F.lit(False).alias("date_warning"),
+            F.lit("keep").alias("action_effective"),
+            F.col("new_mtime"),
+        )
+    )
+    return affected.unionByName(keepers)
 
 
 def multi_candidate_report(files: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -60,7 +60,12 @@ def with_simhash_chunks(df: DataFrame, cfg: DedupConfig) -> DataFrame:
             for i in range(q)
         ]
     )
-    return df.withColumn("band_hashes", chunks)
+    # gated rows (simhash NULL) must yield NO band rows, not an array of
+    # NULL chunk values — NULL chunk rows never equi-join but still pay
+    # the explode + bucket-count shuffle; see minhash.with_band_hashes
+    return df.withColumn(
+        "band_hashes", F.when(F.col("simhash").isNotNull(), chunks)
+    )
 
 
 def hamming_distance(a, b) -> "F.Column":

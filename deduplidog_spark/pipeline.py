@@ -36,7 +36,7 @@ from deduplidog_spark.operators.actions import action_plan, run_metrics
 from deduplidog_spark.operators.candidates import lsh_candidate_pairs
 from deduplidog_spark.operators.cluster import connected_components, elect_keepers
 from deduplidog_spark.operators.exact import exact_dup_pairs
-from deduplidog_spark.operators.namedate import name_date_matches
+from deduplidog_spark.operators.namedate import name_date_matches, pair_plan
 from deduplidog_spark.operators.verify import verify_candidate_pairs
 
 
@@ -50,21 +50,35 @@ class DedupResult:
     dropped_buckets: DataFrame | None = None  # LSH skew-cap log
 
 
+def _fs_exists(spark, path: str) -> bool:
+    """Marker check through the Hadoop FS API so resume works for any
+    scheme the cluster mounts (hdfs://, s3a://, file:) — ``os.path``
+    only sees the driver's local disk."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def _ckpt(df: DataFrame, cfg: DedupConfig, stage: str, reuse: bool = True) -> DataFrame:
     """Stage checkpoint: parquet round-trip when checkpoint_dir is set
-    (resumable, truncates lineage). Without a checkpoint_dir, stages
-    consumed by several downstream operators (``reuse=True``) are
-    localCheckpointed so each consumer doesn't re-execute the UDF
-    stage; single-consumer stages stay lazy — every eager
-    materialization is a driver-side barrier that caps scaling."""
+    (resumable, truncates lineage). Stage paths embed the config
+    fingerprint, so a rerun with a different mode/threshold against the
+    same checkpoint_dir recomputes instead of silently reusing stale
+    files/edges/labels. Without a checkpoint_dir, stages consumed by
+    several downstream operators (``reuse=True``) are localCheckpointed
+    so each consumer doesn't re-execute the UDF stage; single-consumer
+    stages stay lazy — every eager materialization is a driver-side
+    barrier that caps scaling."""
     if cfg.checkpoint_dir:
-        path = os.path.join(cfg.checkpoint_dir, stage)
-        marker = os.path.join(path, "_SUCCESS")
+        run_dir = cfg.checkpoint_dir.rstrip("/") + "/" + cfg.fingerprint()
+        path = run_dir + "/" + stage
+        marker = path + "/_SUCCESS"
         spark = df.sparkSession
-        if not os.path.exists(marker):
+        if not _fs_exists(spark, marker):
             df.write.mode("overwrite").parquet(path)
             out = spark.read.parquet(path)
-            record_lineage(out, cfg.checkpoint_dir, stage)  # north_rule
+            record_lineage(out, run_dir, stage)  # north_rule
             return out
         return spark.read.parquet(path)
     return df.localCheckpoint() if reuse else df
@@ -90,6 +104,10 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
     # at 100 TB that is the difference between shuffling ~hashes
     # (≤ 3% of input bytes) and shuffling the corpus itself.
     contents = files.select("fid", "content")
+
+    def _mat(d):  # band-table checkpoint hook → parquet when resumable
+        return _ckpt(d, cfg, "band_sized")
+
     if cfg.mode == "minhash":
         sigs = mh.with_band_hashes(mh.with_signatures(files, cfg), cfg)
         # band hashes (32 longs) replace the full signature in the
@@ -102,7 +120,7 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
         winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
         reps = slim.join(winners, "fid", "left_semi")
         band_rows = mh.explode_bands(reps)
-        pairs, dropped = lsh_candidate_pairs(band_rows, cfg)
+        pairs, dropped = lsh_candidate_pairs(band_rows, cfg, materialize=_mat)
         verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)
     elif cfg.mode == "simhash":
         sigs = sh.with_simhash_chunks(sh.with_simhash(files, cfg), cfg)
@@ -114,7 +132,7 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
         winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
         reps = slim.join(winners, "fid", "left_semi")
         band_rows = mh.explode_bands(reps)
-        pairs, dropped = lsh_candidate_pairs(band_rows, cfg)
+        pairs, dropped = lsh_candidate_pairs(band_rows, cfg, materialize=_mat)
         # verify by Hamming distance (V4 analog), then optional exact Jaccard
         ha = slim.select(F.col("fid").alias("id_a"), F.col("simhash").alias("sh_a"))
         hb = slim.select(F.col("fid").alias("id_b"), F.col("simhash").alias("sh_b"))
@@ -136,7 +154,7 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
         winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
         reps = slim.join(winners, "fid", "left_semi")
         band_rows = ss.explode_fingerprints(reps)
-        pairs, dropped = lsh_candidate_pairs(band_rows, cfg)
+        pairs, dropped = lsh_candidate_pairs(band_rows, cfg, materialize=_mat)
         verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)
     else:
         raise ValueError(f"near_dup_edges: unsupported mode {cfg.mode!r}")
@@ -190,10 +208,18 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
             )
             metrics = run_metrics(plan, files)
             return DedupResult(files, edges, clusters, plan, metrics)
-        edges = matches.filter(F.col("action_effective") != "ignored").select(
+        # role-aware per-pair plan (reference _affect semantics): the
+        # work file is affected, the original keeps, warnings gate —
+        # NOT role-blind cluster election, which could e.g. delete an
+        # original-repo file because the work file won a tie-break
+        plan = _ckpt(pair_plan(matches, cfg), cfg, "plan", reuse=False)
+        edges = matches.select(
             F.concat_ws("/", "o_repo", "o_path").alias("id_a"),
             F.concat_ws("/", "w_repo", "w_path").alias("id_b"),
         )
+        clusters = plan.select("fid", "component", "is_keeper", "duplicate_of")
+        metrics = run_metrics(plan, files)
+        return DedupResult(files, edges, clusters, plan, metrics)
     else:
         near, dropped = near_dup_edges(files_full, cfg)
         exact = exact_dup_pairs(files)

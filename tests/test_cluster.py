@@ -32,7 +32,7 @@ def test_cc_long_path_needs_iterations(spark):
     assert len(labels) == n + 1
 
 
-def test_keeper_is_biggest_then_oldest(spark):
+def _keeper_fixture(spark):
     rows = [
         dict(repo="r", path="small.txt", commit="c0", lang="txt",
              content="x" * 10, mtime=FX.T0, is_symlink=False),
@@ -47,15 +47,31 @@ def test_keeper_is_biggest_then_oldest(spark):
     files = ingest(FX.to_spark_df(spark, rows), DedupConfig()).withColumn(
         "fid", F.concat_ws("/", "repo", "path")
     )
-    labels = _edges(
-        spark, [("r/small.txt", "r/big_new.txt"), ("r/big_new.txt", "r/big_old.txt")]
+    labels = connected_components(
+        _edges(spark, [("r/small.txt", "r/big_new.txt"), ("r/big_new.txt", "r/big_old.txt")])
     )
-    labels = connected_components(labels)
+    return files, labels
+
+
+def test_keeper_default_is_scan_order(spark):
+    """Reference default: the first file in deterministic scan order
+    keeps regardless of size (deduplidog.py:73-78 default off)."""
+    files, labels = _keeper_fixture(spark)
     out = {r.fid: r for r in elect_keepers(files, labels).collect()}
-    # biggest wins; tie on size broken by older mtime (W3/W4)
+    assert out["r/big_new.txt"].is_keeper  # lexicographically first
+    assert out["r/small.txt"].duplicate_of == "r/big_new.txt"
+    assert out["r/big_old.txt"].duplicate_of == "r/big_new.txt"
+    # cluster_min_mtime = T0 propagated to all members (X5 redate)
+    assert all(r.cluster_min_mtime == FX.T0.replace(tzinfo=None) for r in out.values())
+
+
+def test_keeper_treat_bigger_as_original(spark):
+    """treat_bigger_as_original → biggest wins; size tie broken by
+    older mtime (W3/W4, deduplidog.py:73-75,529-535)."""
+    files, labels = _keeper_fixture(spark)
+    cfg = DedupConfig(treat_bigger_as_original=True)
+    out = {r.fid: r for r in elect_keepers(files, labels, cfg).collect()}
     assert out["r/big_old.txt"].is_keeper
     assert not out["r/small.txt"].is_keeper
     assert out["r/small.txt"].duplicate_of == "r/big_old.txt"
     assert out["r/big_new.txt"].duplicate_of == "r/big_old.txt"
-    # cluster_min_mtime = T0 propagated to all members (X5 redate)
-    assert all(r.cluster_min_mtime == FX.T0.replace(tzinfo=None) for r in out.values())

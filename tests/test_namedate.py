@@ -69,6 +69,73 @@ def corpus_b(spark):
     return FX.to_spark_df(spark, FX.corpus_b_rows()).cache()
 
 
+def test_name_mode_plan_role_semantics(corpus_a):
+    """dedupe(mode='name') must honor roles: the action targets ONLY
+    work-repo files, originals always keep, warned pairs are skipped —
+    the reference's _affect always affects the work file
+    (deduplidog.py:523-566)."""
+    from deduplidog_spark.pipeline import dedupe
+
+    cfg = BASE.with_(ignore_date=True, action="delete")
+    plan = dedupe(corpus_a, cfg).plan.collect()
+    work_rows = [r for r in plan if r.repo == "work"]
+    orig_rows = [r for r in plan if r.repo == "originals"]
+    assert {
+        int(r.path.split("_")[1]) for r in work_rows if r.action_effective == "delete"
+    } == {4, 5, 6, 7, 11}
+    assert {
+        int(r.path.split("_")[1]) for r in work_rows if r.action_effective == "skipped"
+    } == {8, 9, 10}
+    # an original is NEVER the target of the action
+    assert orig_rows and all(
+        r.is_keeper and r.action_effective == "keep" for r in orig_rows
+    )
+    assert all(not r.is_keeper for r in work_rows)
+
+
+def _bigger_work_corpus(spark):
+    rows = [
+        dict(repo="work", path="a.txt", commit="c0", lang="txt",
+             content="x" * 50, mtime=FX.T0, is_symlink=False),
+        dict(repo="originals", path="a.txt", commit="c0", lang="txt",
+             content="y" * 10, mtime=FX.T0, is_symlink=False),
+    ]
+    return FX.to_spark_df(spark, rows)
+
+
+@pytest.mark.parametrize(
+    "flags,exp",
+    [
+        # default: bigger work file → SIZE WARNING → skipped
+        ({}, ("work/a.txt", "skipped", True)),
+        # neglect_warning: warned action goes through
+        ({"neglect_warning": True}, ("work/a.txt", "mark", True)),
+        # skip_bigger: skipped outright (base action, not a warning gate)
+        ({"skip_bigger": True}, ("work/a.txt", "skipped", True)),
+        # treat_bigger_as_original: roles swap — the ORIGINAL is affected
+        ({"treat_bigger_as_original": True}, ("originals/a.txt", "mark", False)),
+    ],
+    ids=["default", "neglect", "skip_bigger", "treat_bigger"],
+)
+def test_bigger_work_file_matrix(spark, flags, exp):
+    """treat_bigger_as_original / skip_bigger / warning-gate parity
+    (deduplidog.py:73-78,529-540)."""
+    from deduplidog_spark.pipeline import dedupe
+
+    cfg = BASE.with_(ignore_size=True, ignore_date=True, **flags)
+    plan = dedupe(_bigger_work_corpus(spark), cfg).plan.collect()
+    aff_fid, aff_effective, size_warned = exp
+    affected = [r for r in plan if not r.is_keeper]
+    assert len(affected) == 1
+    assert affected[0].fid == aff_fid
+    assert affected[0].action_effective == aff_effective
+    assert affected[0].size_warning == size_warned
+    keepers = [r for r in plan if r.is_keeper]
+    assert len(keepers) == 1
+    assert keepers[0].fid != aff_fid
+    assert keepers[0].action_effective == "keep"
+
+
 def test_disk_tree_forward(corpus_b):
     """work=folder1 vs orig=folder2 (tests/test_disk.py:10-18)."""
     cfg = DedupConfig(
