@@ -15,13 +15,47 @@ from deduplidog_spark.pipeline import dedupe
 def test_lineage_recorded_per_stage(spark):
     tmp = tempfile.mkdtemp()
     df = FX.to_spark_df(spark, FX.corpus_b_rows())
-    dedupe(df, DedupConfig(mode="minhash", checkpoint_dir=f"{tmp}/ck"))
-    assert os.path.exists(f"{tmp}/ck/_lineage")
-    rep = lineage_report(spark, f"{tmp}/ck")
+    cfg = DedupConfig(mode="minhash", checkpoint_dir=f"{tmp}/ck")
+    dedupe(df, cfg)
+    run_dir = f"{tmp}/ck/{cfg.fingerprint()}"  # stage paths are config-keyed
+    assert os.path.exists(f"{run_dir}/_lineage")
+    rep = lineage_report(spark, run_dir)
     rows = {r.stage: r for r in rep.collect()}
-    assert "files" in rows and "minhash_bands" in rows
+    assert "files" in rows and "minhash_bands" in rows and "band_sized" in rows
     assert all(r.total_rows > 0 for r in rows.values())
     assert all(r.skew_ratio >= 1.0 for r in rows.values())
+
+
+def test_checkpoint_resume_from_band_stage(spark):
+    """Kill-and-rerun semantics: delete every stage AFTER the band table
+    and re-run — the pipeline resumes from the persisted band parquet
+    and reproduces the identical plan. A different config against the
+    same checkpoint_dir must NOT reuse any stage (fingerprint-keyed)."""
+    import shutil
+
+    tmp = tempfile.mkdtemp()
+    df = FX.to_spark_df(spark, FX.corpus_b_rows())
+    cfg = DedupConfig(
+        mode="minhash", jaccard_threshold=0.5, sig_est_threshold=0.35,
+        checkpoint_dir=f"{tmp}/ck",
+    )
+    plan1 = sorted(
+        (r.fid, r.action_effective) for r in dedupe(df, cfg).plan.collect()
+    )
+    run_dir = f"{tmp}/ck/{cfg.fingerprint()}"
+    for stage in ("edges", "cc_labels", "plan"):
+        assert os.path.exists(f"{run_dir}/{stage}/_SUCCESS")
+        shutil.rmtree(f"{run_dir}/{stage}")
+    assert os.path.exists(f"{run_dir}/band_sized/_SUCCESS")  # survives the "crash"
+    plan2 = sorted(
+        (r.fid, r.action_effective) for r in dedupe(df, cfg).plan.collect()
+    )
+    assert plan1 == plan2
+    # different semantics → different run dir, stale stages untouched
+    cfg2 = cfg.with_(jaccard_threshold=0.9)
+    assert cfg2.fingerprint() != cfg.fingerprint()
+    dedupe(df, cfg2)
+    assert os.path.exists(f"{tmp}/ck/{cfg2.fingerprint()}/plan/_SUCCESS")
 
 
 def test_exclude_processed_resume(spark):
