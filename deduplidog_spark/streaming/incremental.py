@@ -28,14 +28,24 @@ def read_file_stream(spark, path: str, schema) -> DataFrame:
 
 def streaming_exact_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exact-dup suppression on the stream: keep the first row per
-    content sha; later identical rows are dropped by the state store.
-    The watermark (on mtime) bounds state like the reference's
-    tombstone set bounds its dict (deduplidog.py:224) — without it,
-    1e12 rows of state would accumulate."""
+    content sha; later identical rows arriving within the watermark
+    window are dropped by the state store.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is
+    load-bearing: with a dedup subset that excludes the event-time
+    column, ``dropDuplicates`` never purges its state even under a
+    watermark — at corpus scale (1e12 rows) that is unbounded state and
+    an executor OOM. WithinWatermark evicts each sha's state once the
+    watermark passes its first-seen event time + delay, bounding state
+    to the duplicate-arrival horizon, like the reference's tombstone
+    set bounds its dict (deduplidog.py:224). The trade: a duplicate
+    arriving AFTER the horizon re-emits — the periodic batch LSH/exact
+    join over the signature sink (run_incremental) catches those.
+    """
     return (
         stream.withColumn("sha", F.sha2(F.col("content"), 256))
         .withWatermark("mtime", watermark)
-        .dropDuplicates(["sha"])
+        .dropDuplicatesWithinWatermark(["sha"])
     )
 
 

@@ -34,6 +34,57 @@ def test_streaming_exact_dedup_drops_later_copies(spark):
     assert all(r.n == 1 for r in out), "one survivor per content sha"
 
 
+def _row(path, content, mtime):
+    return dict(
+        repo="s", path=path, commit="c0", lang="txt",
+        content=content, mtime=mtime, is_symlink=False,
+    )
+
+
+def test_streaming_state_evicted_beyond_watermark(spark):
+    """dropDuplicatesWithinWatermark semantics: duplicates inside the
+    watermark horizon are dropped; once the watermark passes a key's
+    first-seen time + delay the state is EVICTED, so a later duplicate
+    re-emits — the observable proof that state is bounded (the round-1
+    dropDuplicates version kept state forever)."""
+    from datetime import datetime
+
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "in")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def run_cycle(rows):
+        FX.to_spark_df(spark, rows).write.mode("append").parquet(src)
+        stream = read_file_stream(spark, src, FX.FILES_SCHEMA)
+        q = (
+            streaming_exact_dedup(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    # cycle 1: first A emits, same-batch duplicate dropped
+    run_cycle([_row("a1.txt", "dupX", t(10, 0)), _row("a2.txt", "dupX", t(10, 5))])
+    # cycle 2: in-horizon duplicate dropped (state alive), B advances
+    # the watermark to 12:00, evicting A's state (10:00 + 1h < 12:00)
+    run_cycle([_row("a3.txt", "dupX", t(10, 30)), _row("b.txt", "uniq", t(13, 0))])
+    # cycle 3: post-eviction duplicate re-emits
+    run_cycle([_row("a4.txt", "dupX", t(12, 30))])
+
+    got = {
+        r.content: r.n
+        for r in spark.read.parquet(out).groupBy("content").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got == {"dupX": 2, "uniq": 1}, got
+
+
 def test_streaming_signatures_schema(spark):
     tmp = tempfile.mkdtemp()
     src = os.path.join(tmp, "in")
