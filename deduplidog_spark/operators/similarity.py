@@ -90,6 +90,11 @@ def with_lsh_bucket(
     return df.withColumn("ann_bucket", bucket)
 
 
+def table_seed(seed: int, table: int) -> int:
+    """Per-table plane seed (deterministic, shared with the oracle)."""
+    return seed + 101 * table
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -97,32 +102,81 @@ def lsh_ann_topk(
     k: int,
     n_planes: int = 8,
     seed: int = 42,
+    n_tables: int = 2,
+    max_bucket: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket (recall grows
-    with fewer planes / multiple tables). One equi-join on ann_bucket —
-    at 100 TB this is the difference between a shuffle join on ~N·N/2^p
-    candidate pairs and an impossible cross join."""
-    qb = with_lsh_bucket(queries, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("q_vec"),
-        "ann_bucket",
+    """Approximate top-k via multiple OR-combined hash tables with a
+    hot-bucket cap.
+
+    - ``n_tables`` independent plane sets: a true neighbor missed by
+      one table's sign pattern is caught by another (recall amplifies
+      as 1-(1-p)^T), so planes can stay selective;
+    - the candidate join carries only (id, table, bucket) — vectors
+      rejoin AFTER the distinct pair set is known, so the shuffle is
+      ids + longs, not embeddings;
+    - ``max_bucket`` caps corpus-side bucket size per table (same
+      window-count guard as the text LSH path, candidates.py): a
+      boilerplate-embedding bucket — zero vectors, truncation artifacts
+      — would otherwise go O(h²); oversized buckets are dropped for
+      that table only, and an honest near-neighbor almost always shares
+      a sane bucket in another table.
+
+    At 100 TB this is a few shuffle joins on ~N·T/2^p candidate rows
+    instead of an impossible cross join.
+    """
+    qb_parts, cb_parts = [], []
+    for t in range(n_tables):
+        ts = table_seed(seed, t)
+        qb_parts.append(
+            with_lsh_bucket(queries, dim, n_planes, ts, vec_col).select(
+                F.col(id_col).alias("query_id"),
+                F.lit(t).alias("tbl"),
+                "ann_bucket",
+            )
+        )
+        cb_parts.append(
+            with_lsh_bucket(corpus, dim, n_planes, ts, vec_col).select(
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(t).alias("tbl"),
+                "ann_bucket",
+            )
+        )
+    qb = qb_parts[0]
+    cb = cb_parts[0]
+    for p in qb_parts[1:]:
+        qb = qb.unionByName(p)
+    for p in cb_parts[1:]:
+        cb = cb.unionByName(p)
+    w = Window.partitionBy("tbl", "ann_bucket")
+    cb = (
+        cb.withColumn("bucket_size", F.count("*").over(w))
+        .filter(F.col("bucket_size") <= max_bucket)
+        .drop("bucket_size")
     )
-    cb = with_lsh_bucket(corpus, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("c_vec"),
-        "ann_bucket",
+    cand = (
+        qb.join(cb, ["tbl", "ann_bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    pairs = qb.join(cb, "ann_bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn(
-        "cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     )
-    w = Window.partitionBy("query_id").orderBy(
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    rw = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )

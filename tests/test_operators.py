@@ -96,6 +96,28 @@ def test_lsh_ann_recall_on_tight_clusters(spark):
     assert recall >= 0.9, f"ANN recall {recall}"
 
 
+def test_lsh_ann_hot_bucket_capped(spark):
+    """A degenerate bucket (1000 near-identical vectors — think
+    zero-embedding/truncation artifacts) must not go O(h²): with
+    max_bucket the oversized bucket is dropped per-table and the query
+    completes with a bounded candidate set."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    hot = rng.randn(8).astype("float64")
+    rows = [(i, (hot + rng.randn(8) * 1e-6).astype("float32").tolist()) for i in range(1000)]
+    # a few honest distinct vectors too
+    rows += [(1000 + i, rng.randn(8).astype("float32").tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_ann_topk(
+        df.filter("vec_id IN (0, 1005)"), df, dim=8, k=3,
+        n_planes=4, n_tables=2, max_bucket=50,
+    )
+    rows_out = out.collect()  # completes; hot bucket contributed nothing
+    hot_neighbors = [r for r in rows_out if r.query_id == 0]
+    assert len(hot_neighbors) <= 3
+
+
 def test_multimodal_feature_plumbing(spark):
     media = synthesize_media(spark, n=32)
     feats = extract_media_features(media)
