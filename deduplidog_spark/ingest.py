@@ -80,6 +80,12 @@ def with_derived_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
         .withColumn("stem", stem)
         .withColumn("size", F.octet_length("content").cast("long"))
         .withColumn("sha", F.sha2(F.col("content"), 256))
+        # P2 quarantine: an unreadable row (NULL content — the table
+        # analog of the reference's retry-then-skip on I/O error,
+        # deduplidog.py:444-460) is FLAGGED and carried, never crashes
+        # a task and never matches (its sha/sig are NULL; the exact and
+        # LSH stages exclude NULL keys explicitly).
+        .withColumn("quarantined", F.col("content").isNull())
     )
     out = out.withColumn("norm_key", _normalize_stem(F.col("stem"), cfg, shorten=False))
     out = out.withColumn(
@@ -98,7 +104,9 @@ def apply_row_filters(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     # F1: idempotence marker — path already marked by a previous run
     df = df.filter(~F.col("filename").startswith("✓"))
     if cfg.skip_empty:
-        df = df.filter(F.col("size") > 0)  # F4
+        # F4 — quarantined rows have NULL size; keep them (flagged) so
+        # the run can report them instead of silently dropping
+        df = df.filter((F.col("size") > 0) | F.col("quarantined"))
     if cfg.suffixes:
         df = df.filter(
             F.lower(F.col("lang")).isin([s.lower() for s in cfg.suffixes])

@@ -84,6 +84,42 @@ def action_plan(clustered: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def revert_plan(plan: DataFrame) -> DataFrame:
+    """X8 un-mark utility (reference utils.py:169-174 strips the '✓'
+    prefix a prior run added): invert a previously-emitted plan into
+    the retraction plan an applier consumes to undo it.
+
+    Only rows whose action actually fired are inverted (keepers and
+    'skipped' rows were no-ops). ``new_mtime`` is NULL in the inverse —
+    the forward plan doesn't carry the pre-redate mtime, so an applier
+    that needs exact restoration must keep its own change log (the
+    reference has the same limitation: un-marking restores the name,
+    not the mtime)."""
+    inverse = (
+        F.when(F.col("action_effective") == "mark", F.lit("unmark"))
+        .when(F.col("action_effective") == "delete", F.lit("restore"))
+        .when(F.col("action_effective") == "replace", F.lit("restore"))
+        .when(F.col("action_effective") == "link", F.lit("unlink"))
+    )
+    fired = plan.filter(
+        (~F.col("is_keeper"))
+        & ~F.col("action_effective").isin("skipped", "keep", "none")
+    )
+    return fired.select(
+        "fid",
+        "repo",
+        "path",
+        "component",
+        "is_keeper",
+        "duplicate_of",
+        inverse.alias("action"),
+        F.lit(False).alias("size_warning"),
+        F.lit(False).alias("date_warning"),
+        inverse.alias("action_effective"),
+        F.lit(None).cast("timestamp").alias("new_mtime"),
+    )
+
+
 def run_metrics(plan: DataFrame, files: DataFrame) -> DataFrame:
     """A3 run counters as one aggregate row: affected count/size,
     warning count, ignored count (deduplidog.py:243-252,315-325)."""
@@ -99,7 +135,7 @@ def run_metrics(plan: DataFrame, files: DataFrame) -> DataFrame:
         ),
         "fid",
     )
-    return plan_with_size.agg(
+    agg = plan_with_size.agg(
         affected.alias("affected_count"),
         F.sum(
             F.when(
@@ -114,3 +150,11 @@ def run_metrics(plan: DataFrame, files: DataFrame) -> DataFrame:
             "skipped_count"
         ),
     )
+    if "quarantined" in files.columns:
+        q = files.agg(
+            F.sum(F.when(F.col("quarantined"), 1).otherwise(0))
+            .cast("long")
+            .alias("quarantined_count")
+        )
+        return agg.crossJoin(q)  # two 1-row aggregates
+    return agg.withColumn("quarantined_count", F.lit(0).cast("long"))

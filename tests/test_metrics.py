@@ -80,3 +80,42 @@ def test_run_metrics_counts(spark):
     assert m.affected_count == n_dups
     assert m.size_affected > 0
     assert m.skipped_count == 0
+    assert m.quarantined_count == 0
+
+
+def test_quarantined_rows_flagged_not_matched(spark):
+    """P2: NULL-content rows are carried with quarantined=True, never
+    crash a stage, never pair with each other (NULL sha / NULL sig must
+    not group), and are counted in metrics."""
+    rows = FX.corpus_b_rows()
+    for i in (0, 1):
+        rows.append(
+            dict(repo="badrepo", path=f"bad_{i}.txt", commit="c0", lang="txt",
+                 content=None, mtime=FX.T0, is_symlink=False)
+        )
+    df = FX.to_spark_df(spark, rows)
+    for mode in ("exact", "minhash"):
+        res = dedupe(df, DedupConfig(mode=mode))
+        qrows = res.files.filter(F.col("quarantined")).collect()
+        assert {r.path for r in qrows} == {"bad_0.txt", "bad_1.txt"}
+        # the two NULL rows never appear in the plan (as pairs or keepers)
+        assert res.plan.filter(F.col("repo") == "badrepo").count() == 0
+        assert res.metrics.collect()[0].quarantined_count == 2
+
+
+def test_revert_plan_inverts_fired_actions(spark):
+    from deduplidog_spark.operators.actions import revert_plan
+
+    df = FX.to_spark_df(spark, FX.corpus_b_rows())
+    res = dedupe(df, DedupConfig(mode="exact", action="mark"))
+    inv = revert_plan(res.plan).collect()
+    fired = res.plan.filter(
+        (~F.col("is_keeper")) & (F.col("action_effective") == "mark")
+    ).count()
+    assert len(inv) == fired > 0
+    assert all(r.action == "unmark" and r.action_effective == "unmark" for r in inv)
+    assert all(r.new_mtime is None for r in inv)
+    # delete → restore
+    res2 = dedupe(df, DedupConfig(mode="exact", action="delete"))
+    inv2 = revert_plan(res2.plan).collect()
+    assert inv2 and all(r.action == "restore" for r in inv2)
