@@ -369,7 +369,7 @@ def q_salted_agg(spark, sf_dir):
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("pv"),
     )
     return (
-        partial.withColumn("event_type", F.substring_index("salted_key", "#", 1))
+        partial.withColumn("event_type", F.col("salted_key.key"))
         .groupBy("event_type")
         .agg(
             F.sum("pn").alias("n_events"),
@@ -481,32 +481,116 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 def q_connected_components(spark, sf_dir):
-    """§2.9 clustering over verified near-dup edges (iterative —
-    rows-only)."""
-    edges = q_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    """§2.9 clustering (hash-min label propagation, cluster.py:27-85),
+    DuckDB-oracled: the edge set is SQL-expressible — exact-dup star
+    edges (sha equality) ∪ near edges (3-gram Jaccard ≥ 0.5 between
+    nearby doc ids) — so the oracle closes it with WITH RECURSIVE and
+    both engines must emit identical (fid, component) labels. The
+    minhash-edge variant of the same operator runs in q_dedup_pipeline
+    (probabilistic banding → rows-only there)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sha_w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    g = d.select(
+        "doc_id",
+        F.min("doc_id").over(sha_w).alias("root"),
+        F.count("*").over(sha_w).alias("n"),
+    )
+    exact = g.filter((F.col("n") > 1) & (F.col("doc_id") != F.col("root"))).select(
+        F.format_string("d%06d", "root").alias("id_a"),
+        F.format_string("d%06d", "doc_id").alias("id_b"),
+    )
+    a = d.filter(F.col("doc_id") < 150).select(
+        F.col("doc_id").alias("ia"), F.col("text").alias("ta")
+    )
+    b = d.select(F.col("doc_id").alias("ib"), F.col("text").alias("tb"))
+    near = (
+        a.join(b, (F.col("ib") > F.col("ia")) & (F.col("ib") <= F.col("ia") + 2))
+        .filter(F.round(ts.ngram_jaccard(F.col("ta"), F.col("tb"), 3), 6) >= 0.5)
+        .select(
+            F.format_string("d%06d", "ia").alias("id_a"),
+            F.format_string("d%06d", "ib").alias("id_b"),
+        )
+    )
+    edges = exact.union(near).dropDuplicates(["id_a", "id_b"])
     return connected_components(edges)
 
 
+def q_exif_proximity(spark, sf_dir):
+    """V6 EXIF-set proximity: each event's aux timestamp SET is its
+    user's 'click' times; keep events with ANY set member within
+    ±3600 s — ``F.exists`` over an array<timestamp> column, the exact
+    shape of the reference's any-EXIF-datetime check
+    (helpers.py:32-41, deduplidog.py:744-749)."""
+    from deduplidog_spark.sources.readers import time_set_proximity
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    clicks = e.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.array_sort(F.collect_list("ts")).alias("aux_ts")
+    )
+    joined = e.join(clicks, "user_id")
+    return joined.filter(
+        time_set_proximity(F.col("ts"), F.col("aux_ts"), 3600.0)
+    ).select("event_id")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Full pipeline END-TO-END with a DuckDB oracle: exact mode over
+    documents ∪ a planted copy of every 10th doc. Every stage is
+    deterministic SQL — ingest filters, sha grouping, star edges,
+    connected components (≡ sha groups), default keeper election
+    (first in scan order), warning gates — so the emitted plan must
+    hash-match the oracle row-for-row."""
+    docs = _t(spark, sf_dir, "documents")
+    base = _docs_as_files(docs)
+    copies = _docs_as_files(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn("source", F.lit("copyrepo"))
+    )
+    cfg = DedupConfig(mode="exact")
+    plan = dedupe(base.unionByName(copies), cfg).plan
+    return plan.select(
+        "fid",
+        "component",
+        "is_keeper",
+        "duplicate_of",
+        "action",
+        "size_warning",
+        "date_warning",
+        "action_effective",
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH approximate top-3 (bucketed ANN — rows-only;
-    q_cosine_topk is the exact baseline)."""
+    """Hyperplane-LSH approximate top-3 — DuckDB-oracled: the random
+    hyperplanes are plan-time literals, so the oracle recomputes the
+    same sign-pattern buckets (2 OR-combined tables) and must produce
+    the identical candidate set + ranking. The hot-bucket cap is
+    vacuous at contract scale (tests exercise it with a planted
+    1000-vector bucket)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_ann_topk(queries, emb, dim=64, k=3, n_planes=6)
+    return lsh_ann_topk(queries, emb, dim=64, k=3, n_planes=6, n_tables=2)
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only): binary payloads → mapInPandas
-    feature extraction (stub decode; real schema/batching/quarantine)."""
-    from deduplidog_spark.operators.multimodal import (
-        extract_media_features,
-        synthesize_media,
-    )
+    """Multimodal plumbing, DuckDB-oracled: binary payloads (document
+    text bytes — deterministic on both sides) stream through the real
+    mapInPandas decode/quarantine path; the oracle checks media_id,
+    kind, byte count and the quarantine flag (phash depends on the
+    stub decode and stays covered by media_near_pairs rows-only)."""
+    from deduplidog_spark.operators.multimodal import extract_media_features
 
     _ensure_pkg(spark)
-    media = synthesize_media(spark, n=96)
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
     return extract_media_features(media).select(
-        "media_id", "kind", "n_bytes", "phash"
+        "media_id", "kind", "n_bytes", "quarantined"
     )
 
 
@@ -596,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warning_gate": q_warning_gate,
         "report_top": q_report_top,
         "edit_distance": q_edit_distance,
+        "exif_proximity": q_exif_proximity,
+        "dedup_exact": q_dedup_exact,
         "media_features": q_media_features,
         "media_near_pairs": q_media_near_pairs,
         "lcs_verify": q_lcs_verify,
@@ -610,8 +696,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _ann_oracle_sql() -> str:
+    """Generated mirror of q_ann_lsh: the hyperplanes are deterministic
+    (same seed path as the Spark side), inlined as DOUBLE[] literals so
+    DuckDB computes the identical sign-pattern buckets."""
+    from deduplidog_spark.operators.similarity import random_hyperplanes, table_seed
+
+    buckets = []
+    for t in range(2):
+        planes = random_hyperplanes(64, 6, table_seed(42, t))
+        bits = " + ".join(
+            "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), ["
+            + ", ".join(repr(float(x)) for x in plane)
+            + f"]) > 0 THEN {1 << b} ELSE 0 END)"
+            for b, plane in enumerate(planes)
+        )
+        buckets.append(f"({bits}) AS b{t}")
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding, {buckets[0]}, {buckets[1]}
+                     FROM embeddings),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM emb q JOIN emb c
+              ON (q.b0 = c.b0 OR q.b1 = c.b1) AND q.vec_id != c.vec_id
+            WHERE q.vec_id < 20),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                                CAST(ce.embedding AS DOUBLE[])), 6)
+                       AS cosine_sim
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "connected_components": """
+            WITH RECURSIVE grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(text)-2, 1)+1),
+                           i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+                FROM documents),
+            sha_g AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY sha256(text)) AS root,
+                       count(*) OVER (PARTITION BY sha256(text)) AS n
+                FROM documents),
+            exact_e AS (
+                SELECT printf('d%06d', root) AS id_a, printf('d%06d', doc_id) AS id_b
+                FROM sha_g WHERE n > 1 AND doc_id != root),
+            near_e AS (
+                SELECT printf('d%06d', a.doc_id) AS id_a, printf('d%06d', b.doc_id) AS id_b
+                FROM grams a JOIN grams b
+                  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 2
+                WHERE a.doc_id < 150
+                  AND round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+                      >= 0.5),
+            edges AS (SELECT * FROM exact_e UNION SELECT * FROM near_e),
+            und AS (SELECT id_a AS src, id_b AS dst FROM edges
+                    UNION SELECT id_b, id_a FROM edges),
+            reach(node, comp) AS (
+                SELECT DISTINCT src, src FROM und
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node)
+            SELECT node AS fid, min(comp) AS component FROM reach GROUP BY node
+        """,
+        "repo_profiles": """
+            SELECT repo,
+                   count(*) AS n_files,
+                   CAST(sum(size) AS BIGINT) AS total_bytes,
+                   round(quantile_cont(size, 0.5), 4) AS median_size,
+                   round(quantile_cont(size, 0.9), 4) AS p90_size,
+                   count(DISTINCT sha) AS distinct_sha,
+                   round(1.0 - CAST(count(DISTINCT sha) AS DOUBLE) / count(*), 4)
+                       AS dup_ratio
+            FROM (SELECT source AS repo,
+                         octet_length(encode(text)) AS size,
+                         sha256(text) AS sha
+                  FROM documents
+                  WHERE octet_length(encode(text)) > 0)
+            GROUP BY repo
+        """,
+        "exif_proximity": """
+            SELECT event_id FROM events a
+            WHERE EXISTS (
+                SELECT 1 FROM events b
+                WHERE b.user_id = a.user_id AND b.event_type = 'click'
+                  AND abs(epoch(a.ts) - epoch(b.ts)) <= 3600)
+        """,
+        "dedup_exact": """
+            WITH f AS (
+                SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) AS fid, text
+                FROM documents WHERE octet_length(encode(text)) > 0
+                UNION ALL
+                SELECT 'copyrepo/doc_' || CAST(doc_id AS VARCHAR), text
+                FROM documents
+                WHERE doc_id % 10 = 0 AND octet_length(encode(text)) > 0),
+            g AS (
+                SELECT fid,
+                       min(fid) OVER (PARTITION BY sha256(text)) AS root,
+                       count(*) OVER (PARTITION BY sha256(text)) AS n
+                FROM f)
+            SELECT fid, root AS component, fid = root AS is_keeper,
+                   CASE WHEN fid = root THEN NULL ELSE root END AS duplicate_of,
+                   CASE WHEN fid = root THEN 'keep' ELSE 'mark' END AS action,
+                   FALSE AS size_warning, FALSE AS date_warning,
+                   CASE WHEN fid = root THEN 'keep' ELSE 'mark' END AS action_effective
+            FROM g WHERE n > 1
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                   END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   octet_length(encode(text)) = 0 AS quarantined
+            FROM documents
+        """,
+        "ann_lsh": _ann_oracle_sql(),
         "agg_counters": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

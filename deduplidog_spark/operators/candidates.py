@@ -72,7 +72,10 @@ def salt_column(key, unique_col, buckets: int):
     spread a skewed grouping key over ``buckets`` shards by hashing a
     unique column (e.g. path). Aggregations run salted first, then
     re-aggregate the ``buckets`` partials — two small shuffles instead
-    of one skewed one."""
-    return F.concat_ws(
-        "#", key, F.pmod(F.xxhash64(unique_col), F.lit(buckets)).cast("string")
+    of one skewed one. Returns a STRUCT (key, salt), not a delimited
+    string: a delimiter would corrupt un-salting for any key that
+    contains the delimiter itself."""
+    return F.struct(
+        key.alias("key"),
+        F.pmod(F.xxhash64(unique_col), F.lit(buckets)).cast("int").alias("salt"),
     )

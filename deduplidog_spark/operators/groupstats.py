@@ -33,8 +33,12 @@ def repo_profiles(files: DataFrame) -> DataFrame:
                 "repo": [pdf["repo"].iloc[0]],
                 "n_files": [n],
                 "total_bytes": [int(pdf["size"].sum())],
-                "median_size": [float(pdf["size"].median())],
-                "p90_size": [float(pdf["size"].quantile(0.9))],
+                # 4dp rounding: pandas' linear interpolation and DuckDB's
+                # quantile_cont agree mathematically but differ by ~1 ulp
+                # in float96-vs-float64 accumulation order; rounding makes
+                # the column oracle-comparable bit-for-bit
+                "median_size": [round(float(pdf["size"].median()), 4)],
+                "p90_size": [round(float(pdf["size"].quantile(0.9)), 4)],
                 "distinct_sha": [distinct],
                 "dup_ratio": [round(1.0 - distinct / n, 4) if n else 0.0],
             }

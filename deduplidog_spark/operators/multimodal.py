@@ -118,10 +118,14 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     container — payload bytes are seeded pseudo-random)."""
     rng = np.random.RandomState(seed)
     rows = []
+    prev = b""
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         size = int(rng.randint(256, 4096))
         payload = rng.bytes(size) if i % 7 else b""  # some broken rows
+        if i % 9 == 4 and prev:
+            payload = prev  # planted duplicate → a true near-dup pair
+        prev = payload or prev
         rows.append(
             (
                 i,

@@ -77,6 +77,36 @@ def join_sidecar_times(files: DataFrame, sidecars: DataFrame, key_chars: int = 4
     return keyed.join(F.broadcast(sidecars), "sidecar_key", "left").drop("sidecar_key")
 
 
+def join_sidecar_time_sets(
+    files: DataFrame, sidecars: DataFrame, key_chars: int = 46
+) -> DataFrame:
+    """V6 EXIF-set semantics: a file can carry SEVERAL auxiliary
+    datetimes (EXIF original/digitized/GPS + sidecars — the reference
+    collects the whole set, helpers.py:32-41). Aggregates every sidecar
+    timestamp per key into ``aux_ts array<timestamp>``; the proximity
+    check is then an ``exists`` over the set, not a single-column
+    compare."""
+    agg = sidecars.groupBy("sidecar_key").agg(
+        F.array_sort(F.collect_list("taken_ts")).alias("aux_ts")
+    )
+    keyed = files.withColumn(
+        "sidecar_key", F.substring(F.element_at(F.split("path", "/"), -1), 1, key_chars)
+    )
+    return keyed.join(F.broadcast(agg), "sidecar_key", "left").drop("sidecar_key")
+
+
+def time_set_proximity(ts_col, aux_col, seconds: float):
+    """V6 predicate: ANY timestamp of the aux set within ±seconds of
+    the file's own (reference: any EXIF datetime within 3600 s,
+    deduplidog.py:744-749) — ``F.exists`` over the array, pure JVM."""
+    own = ts_col.cast("timestamp").cast("double")
+    return F.exists(
+        aux_col,
+        lambda t: F.abs(own - t.cast("timestamp").cast("double"))
+        <= F.lit(float(seconds)),
+    )
+
+
 def append_changes(plan: DataFrame, location: str) -> None:
     """S5/S6: append the action-plan/changes table (the audit log the
     reference prints, deduplidog.py:777-802). Iceberg table name or
