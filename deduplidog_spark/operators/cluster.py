@@ -28,6 +28,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
     checkpoint_every: int = 1,
+    check_every: int = 2,
 ) -> DataFrame:
     """Edges (id_a, id_b) → labels (fid, component) for every node that
     appears in an edge. Component id = min member fid (deterministic).
@@ -35,6 +36,15 @@ def connected_components(
     Shuffle profile per round: one groupBy(fid) over the undirected
     edge list joined with current labels — keys are file ids (unique,
     no skew). Early-exits when an iteration changes no label.
+
+    Driver-barrier budget (the latency floor at scale): each round's
+    label table carries its OWN previous label as an aggregated column,
+    so the convergence probe is a filter-count over the just-
+    checkpointed table — no extra join job per round (the round-1
+    version re-joined old vs new labels: one more shuffle per round).
+    ``check_every=2`` halves the probe count again; the cost is at most
+    one redundant round after convergence, against rounds that are
+    O(diameter) ≈ 3-5 for near-star dedup graphs.
     """
     # single pass over (possibly expensive, lazy) edges: emit both
     # directions via explode instead of a self-union, which would scan
@@ -58,30 +68,45 @@ def connected_components(
     )
 
     for i in range(max_iterations):
-        # neighbor labels: for each edge (src,dst), dst's current label
+        # neighbor labels: for each edge (src,dst), dst's current label;
+        # the node's own label rides along flagged is_self so the same
+        # aggregation yields (new component, previous component)
         nbr = und.join(
             labels.withColumnRenamed("fid", "dst").withColumnRenamed(
                 "component", "nbr_component"
             ),
             "dst",
-        ).select(F.col("src").alias("fid"), "nbr_component")
+        ).select(
+            F.col("src").alias("fid"),
+            "nbr_component",
+            F.lit(False).alias("is_self"),
+        )
+        own = labels.select(
+            "fid",
+            F.col("component").alias("nbr_component"),
+            F.lit(True).alias("is_self"),
+        )
         new_labels = (
-            nbr.union(labels.select("fid", F.col("component").alias("nbr_component")))
+            nbr.union(own)
             .groupBy("fid")
-            .agg(F.min("nbr_component").alias("component"))
+            .agg(
+                F.min("nbr_component").alias("component"),
+                F.max(F.when(F.col("is_self"), F.col("nbr_component"))).alias("prev"),
+            )
         )
         if checkpoint_every and (i % checkpoint_every == 0):
             new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "fid")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        last_round = i == max_iterations - 1
+        if ((i + 1) % max(check_every, 1) == 0) or last_round:
+            changed = (
+                new_labels.filter(F.col("component") != F.col("prev"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels.select("fid", "component")
+                break
+        labels = new_labels.select("fid", "component")
     return labels
 
 

@@ -135,6 +135,44 @@ def test_multimodal_feature_plumbing(spark):
     near_dup_media_pairs(feats).count()
 
 
+def test_sidecar_time_sets_exists_predicate(spark):
+    """V6 EXIF-set semantics: a file with SEVERAL aux timestamps matches
+    when ANY of them is within the band (reference helpers.py:32-41,
+    deduplidog.py:744-749) — not just the first/only sidecar."""
+    from deduplidog_spark.sources.readers import (
+        join_sidecar_time_sets,
+        time_set_proximity,
+    )
+
+    files = spark.createDataFrame(
+        [
+            ("r", "a/IMG_001.jpg", FX.T0),
+            ("r", "a/IMG_002.jpg", FX.T0),
+            ("r", "a/IMG_003.jpg", FX.T0),
+        ],
+        "repo string, path string, mtime timestamp",
+    )
+    sidecars = spark.createDataFrame(
+        [
+            # IMG_001: two sidecar times, the SECOND is within 3600 s
+            ("IMG_001.jpg", FX.T0 - timedelta(hours=20)),
+            ("IMG_001.jpg", FX.T0 + timedelta(minutes=30)),
+            # IMG_002: all far away
+            ("IMG_002.jpg", FX.T0 + timedelta(days=3)),
+            # IMG_003: no sidecar at all
+        ],
+        "sidecar_key string, taken_ts timestamp",
+    )
+    out = join_sidecar_time_sets(files, sidecars, key_chars=11)
+    near = out.filter(
+        time_set_proximity(out["mtime"], out["aux_ts"], 3600.0)
+    ).collect()
+    assert [r.path for r in near] == ["a/IMG_001.jpg"]
+    rows = {r.path: r.aux_ts for r in out.collect()}
+    assert len(rows["a/IMG_001.jpg"]) == 2
+    assert rows["a/IMG_003.jpg"] is None  # left join keeps sidecar-less rows
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
