@@ -515,6 +515,20 @@ def q_connected_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_common_prefix(spark, sf_dir):
+    """A5 common-prefix display (deduplidog.py:301-302,793) over
+    document groups: per source, the longest common prefix of member
+    fids — LCP(min,max) of the sorted set, one aggregate, no UDF."""
+    from deduplidog_spark.operators.actions import cluster_common_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    clustered = d.select(
+        F.concat(F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string")).alias("fid"),
+        F.col("source").alias("component"),
+    )
+    return cluster_common_prefix(clustered)
+
+
 def q_exif_proximity(spark, sf_dir):
     """V6 EXIF-set proximity: each event's aux timestamp SET is its
     user's 'click' times; keep events with ANY set member within
@@ -682,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance": q_edit_distance,
         "exif_proximity": q_exif_proximity,
         "dedup_exact": q_dedup_exact,
+        "common_prefix": q_common_prefix,
         "media_features": q_media_features,
         "media_near_pairs": q_media_near_pairs,
         "lcs_verify": q_lcs_verify,
@@ -811,6 +826,20 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS size_warning, FALSE AS date_warning,
                    CASE WHEN fid = root THEN 'keep' ELSE 'mark' END AS action_effective
             FROM g WHERE n > 1
+        """,
+        "common_prefix": """
+            SELECT component, n_members,
+                   substr(mn, 1, CAST(list_sum(list_transform(
+                       range(1, least(len(mn), len(mx)) + 1),
+                       i -> CASE WHEN substr(mn, 1, CAST(i AS INTEGER))
+                                    = substr(mx, 1, CAST(i AS INTEGER))
+                            THEN 1 ELSE 0 END)) AS INTEGER)) AS common_prefix
+            FROM (
+                SELECT source AS component,
+                       min(source || '/doc_' || CAST(doc_id AS VARCHAR)) AS mn,
+                       max(source || '/doc_' || CAST(doc_id AS VARCHAR)) AS mx,
+                       count(*) AS n_members
+                FROM documents GROUP BY source)
         """,
         "media_features": """
             SELECT doc_id AS media_id,

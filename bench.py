@@ -200,22 +200,57 @@ def main() -> None:
         "cores": CPUS,
     }
 
+    scaling_cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scaling_results.json"
+    )
     if DO_SCALING:
+        import statistics
+
         n, n4 = SCALING_N, 4 * SCALING_N
-        t_n = min(_scale_subprocess(n, corpus_dir, BENCH_ROWS) for _ in range(2))
-        t_4n = min(_scale_subprocess(n4, corpus_dir, BENCH_ROWS) for _ in range(2))
+        pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3"))
+        # ALTERNATING paired runs + medians: this host's run-to-run
+        # variance is large and drifts (thermal/cache state), so
+        # interleaving N and 4N measurements decorrelates the drift
+        # from the treatment; each run is a fresh JVM subprocess
+        t_n_runs, t_4n_runs = [], []
+        for _ in range(pairs):
+            t_n_runs.append(_scale_subprocess(n, corpus_dir, BENCH_ROWS))
+            t_4n_runs.append(_scale_subprocess(n4, corpus_dir, BENCH_ROWS))
+        t_n = statistics.median(t_n_runs)
+        t_4n = statistics.median(t_4n_runs)
         thr_n = BENCH_ROWS / t_n
         thr_4n = BENCH_ROWS / t_4n
         eff = thr_4n / (4.0 * thr_n)
         out["scaling"] = {
+            "pairs": pairs,
             "n_cores": n,
+            "t_n_sec_runs": [round(t, 2) for t in t_n_runs],
             "t_n_sec": round(t_n, 2),
             "files_per_sec_n": round(thr_n, 1),
             "n4_cores": n4,
+            "t_4n_sec_runs": [round(t, 2) for t in t_4n_runs],
             "t_4n_sec": round(t_4n, 2),
             "files_per_sec_4n": round(thr_4n, 1),
             "efficiency": round(eff, 3),
+            "bench_rows": BENCH_ROWS,
         }
+        try:
+            with open(scaling_cache, "w") as fh:
+                json.dump(out["scaling"], fh)
+        except OSError:
+            pass
+    elif os.path.exists(scaling_cache):
+        # the N→4N evidence takes ~6 isolated JVM runs (tens of minutes
+        # at useful corpus sizes) — too slow for every default bench
+        # invocation, so embed the last measured block with provenance;
+        # regenerate any time with SPARK_GRAFT_SCALING=1
+        try:
+            with open(scaling_cache) as fh:
+                cached = json.load(fh)
+            cached["cached"] = True
+            out["scaling"] = cached
+        except (OSError, ValueError):
+            pass
 
     print(json.dumps(out))
 

@@ -84,6 +84,39 @@ def action_plan(clustered: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def longest_common_prefix(a, b):
+    """LCP length of two string columns, pure JVM: prefix-equality is
+    monotone in i, so Σ_i [a[:i] == b[:i]] IS the LCP length — one
+    aggregate over a position sequence, no UDF."""
+    n = F.least(F.length(a), F.length(b))
+    lcp = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(a.substr(F.lit(1), i) == b.substr(F.lit(1), i), 1).otherwise(0),
+    )
+    return F.when(n < 1, F.lit(0)).otherwise(lcp)
+
+
+def cluster_common_prefix(clustered: DataFrame) -> DataFrame:
+    """A5 common-prefix display (deduplidog.py:301-302,793: duplicate
+    sets print as ``prefix{suffix1,suffix2,…}``): per component, the
+    longest common prefix of all member fids. Because members sort
+    lexicographically, LCP(set) == LCP(min, max) — so the whole display
+    column costs ONE groupBy, not a per-pair fold."""
+    agg = clustered.groupBy("component").agg(
+        F.min("fid").alias("mn"),
+        F.max("fid").alias("mx"),
+        F.count("*").alias("n_members"),
+    )
+    lcp = longest_common_prefix(F.col("mn"), F.col("mx"))
+    return agg.select(
+        "component",
+        "n_members",
+        F.col("mn").substr(F.lit(1), lcp).alias("common_prefix"),
+    )
+
+
 def revert_plan(plan: DataFrame) -> DataFrame:
     """X8 un-mark utility (reference utils.py:169-174 strips the '✓'
     prefix a prior run added): invert a previously-emitted plan into

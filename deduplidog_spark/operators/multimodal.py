@@ -61,6 +61,35 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     return np.resize(arr, (side, side)).astype(np.float32)
 
 
+def _make_decoder():
+    """Real-codec seam: when Pillow is installed (a real cluster) and
+    SPARK_GRAFT_MEDIA_CODEC != 'stub', decode via PIL grayscale;
+    otherwise the deterministic stub. Resolved once per Python worker —
+    the UDF body, batching and quarantine path are identical either
+    way, so swapping codecs changes zero Spark-side code."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_MEDIA_CODEC", "auto") != "stub":
+        try:
+            import io
+
+            from PIL import Image  # not in this container; real clusters
+
+            def _decode_pil(payload: bytes) -> np.ndarray:
+                if not payload:
+                    raise ValueError("empty media payload")
+                try:
+                    img = Image.open(io.BytesIO(payload)).convert("L")
+                except Exception as e:  # undecodable → quarantine
+                    raise ValueError(f"undecodable payload: {e}") from e
+                return np.asarray(img, dtype=np.float32)
+
+            return _decode_pil
+        except ImportError:
+            pass
+    return _decode_image_stub
+
+
 def _phash64(pixels: np.ndarray) -> int:
     """8×8 average-hash over the decoded frame — the reference's
     perceptual aHash (helpers.py:44-53) re-expressed on our fake
@@ -80,6 +109,7 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
     input Arrow batch — constant memory regardless of partition size."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _make_decoder()  # once per worker, not per row
         for pdf in batches:
             out = {
                 "media_id": [], "kind": [], "n_bytes": [], "phash": [],
@@ -90,7 +120,7 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
             ):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    pixels = _decode_image_stub(payload)
+                    pixels = decode(payload)
                     ph = _phash64(pixels)
                     feat = np.resize(pixels.flatten(), feature_dim)
                     norm = float(np.linalg.norm(feat)) or 1.0

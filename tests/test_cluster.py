@@ -53,6 +53,26 @@ def _keeper_fixture(spark):
     return files, labels
 
 
+def test_cluster_common_prefix(spark):
+    """A5: per-component longest common fid prefix (display helper)."""
+    from deduplidog_spark.operators.actions import cluster_common_prefix
+
+    rows = [
+        ("photos/2021/IMG_001.jpg", "c1"),
+        ("photos/2021/IMG_002.jpg", "c1"),
+        ("photos/2021/IMG_100.jpg", "c1"),
+        ("a.txt", "c2"),
+        ("b.txt", "c2"),
+        ("same/path.txt", "c3"),
+    ]
+    df = spark.createDataFrame(rows, "fid string, component string")
+    out = {r.component: r for r in cluster_common_prefix(df).collect()}
+    assert out["c1"].common_prefix == "photos/2021/IMG_"
+    assert out["c1"].n_members == 3
+    assert out["c2"].common_prefix == ""
+    assert out["c3"].common_prefix == "same/path.txt"
+
+
 def test_keeper_default_is_scan_order(spark):
     """Reference default: the first file in deterministic scan order
     keeps regardless of size (deduplidog.py:73-78 default off)."""
