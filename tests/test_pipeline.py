@@ -152,6 +152,35 @@ def test_substring_mode_finds_shared_blocks(spark):
     assert not any("r3/c.py" in p for pair in pairs for p in pair)
 
 
+def test_hash_gate_rows_never_become_candidates(spark):
+    """F6 hash-cost gate: rows above hash_max_size get NULL signatures
+    and must be EXCLUDED from LSH — not collide into one NULL-hash
+    bucket as mutual 'duplicates' (regression: xxhash64(NULL,…) is a
+    constant)."""
+    big = " ".join(FX.token_stream(50, 3000))
+    rows = []
+    for i in range(4):  # 4 big files, all DIFFERENT content
+        rows.append(
+            dict(repo=f"r{i}", path="big.py", commit="c0", lang="py",
+                 content=big + f" tail{i} " + " ".join(FX.token_stream(100 + i, 2500)),
+                 mtime=FX.T0, is_symlink=False)
+        )
+    near = " ".join(FX.token_stream(9, 120))
+    rows.append(dict(repo="s1", path="near.py", commit="c0", lang="py",
+                     content=near, mtime=FX.T0, is_symlink=False))
+    rows.append(dict(repo="s2", path="near.py", commit="c0", lang="py",
+                     content=near + " x", mtime=FX.T0, is_symlink=False))
+    df = FX.to_spark_df(spark, rows)
+    cfg = DedupConfig(
+        mode="minhash", hash_max_size=5000,
+        jaccard_threshold=0.5, sig_est_threshold=0.3,
+        exact_verify=False,  # the gate must hold WITHOUT the verify net
+    )
+    pairs = _co_clustered_pairs(dedupe(df, cfg))
+    assert ("s1/near.py", "s2/near.py") in pairs
+    assert not any("big.py" in p for pair in pairs for p in pair), pairs
+
+
 def test_corpus_c_recall_vs_brute_force(spark):
     """North-rule headline: dup-pair recall ≥ 0.99 vs the brute-force
     ground truth at identical shingle config (k=5, τ=0.7)."""
