@@ -537,9 +537,16 @@ def q_exif_proximity(spark, sf_dir):
     (helpers.py:32-41, deduplidog.py:744-749)."""
     from deduplidog_spark.sources.readers import time_set_proximity
 
-    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
-    clicks = e.filter(F.col("event_type") == "click").groupBy("user_id").agg(
-        F.array_sort(F.collect_list("ts")).alias("aux_ts")
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # independent scan for the aux side: deriving both join sides from
+    # ONE scan reuses attribute ids, and the exists-predicate's outer
+    # `ts` reference can then be pushed to the aggregate side (where no
+    # ts exists) — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind time
+    aux_src = _t(spark, sf_dir, "events")
+    clicks = (
+        aux_src.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("ts")).alias("aux_ts"))
     )
     joined = e.join(clicks, "user_id")
     return joined.filter(

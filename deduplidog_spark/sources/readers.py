@@ -98,12 +98,21 @@ def join_sidecar_time_sets(
 def time_set_proximity(ts_col, aux_col, seconds: float):
     """V6 predicate: ANY timestamp of the aux set within ±seconds of
     the file's own (reference: any EXIF datetime within 3600 s,
-    deduplidog.py:744-749) — ``F.exists`` over the array, pure JVM."""
+    deduplidog.py:744-749) — an exists-over-array, pure JVM.
+
+    Expressed as an ``F.aggregate`` boolean fold rather than
+    ``F.exists``: Spark 4.1's ArrayExists/ArrayTransform drop the
+    OUTER column (``ts_col``) from the predicate's reference set, so
+    the optimizer pushes the filter below a join to the aux-array side
+    and binding fails with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND;
+    ArrayAggregate reports its references correctly. Same semantics,
+    same single pass over the array."""
     own = ts_col.cast("timestamp").cast("double")
-    return F.exists(
+    return F.aggregate(
         aux_col,
-        lambda t: F.abs(own - t.cast("timestamp").cast("double"))
-        <= F.lit(float(seconds)),
+        F.lit(False),
+        lambda acc, t: acc
+        | (F.abs(own - t.cast("timestamp").cast("double")) <= F.lit(float(seconds))),
     )
 
 
