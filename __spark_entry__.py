@@ -858,6 +858,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_lsh": _ann_oracle_sql(),
+        # LCS length is SQL-expressible: matched char positions (i,j)
+        # lie on diagonals d=i-j; the LCS is the longest consecutive
+        # i-run per diagonal (row_number island trick) — an independent
+        # re-derivation of the pair UDF's two-row DP.
+        "lcs_verify": """
+            WITH pairs AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, a.text AS ta, b.text AS tb
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id < 20),
+            pos AS (
+              SELECT ia, ib, r1.i, r2.j
+              FROM pairs,
+                   LATERAL (SELECT unnest(range(1, len(ta)+1)) AS i) r1,
+                   LATERAL (SELECT unnest(range(1, len(tb)+1)) AS j) r2
+              WHERE substr(ta, CAST(r1.i AS INTEGER), 1)
+                    = substr(tb, CAST(r2.j AS INTEGER), 1)),
+            runs AS (
+              SELECT ia, ib, i - j AS d, i,
+                     i - row_number() OVER (PARTITION BY ia, ib, i - j ORDER BY i)
+                         AS island
+              FROM pos),
+            lens AS (SELECT ia, ib, count(*) AS run_len
+                     FROM runs GROUP BY ia, ib, d, island)
+            SELECT p.ia AS doc_id_a, p.ib AS doc_id_b,
+                   CAST(coalesce(max(l.run_len), 0) AS INTEGER) AS lcs_len
+            FROM pairs p LEFT JOIN lens l ON l.ia = p.ia AND l.ib = p.ib
+            GROUP BY p.ia, p.ib
+        """,
         "agg_counters": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
