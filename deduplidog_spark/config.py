@@ -68,7 +68,10 @@ class DedupConfig:
 
     # --- scale / checkpointing (north_rule)
     checkpoint_dir: str | None = None
-    salt_buckets: int = 8  # salting factor for hot keys
+    # NOTE deliberately no salt knob here: the pipeline's own groupBys
+    # key on sha/fid (uniform by construction) and LSH skew is handled
+    # by sha-collapse + max_bucket_size + AQE; `candidates.salt_column`
+    # is the helper for user aggregations over genuinely hot keys.
     cc_max_iterations: int = 20
 
     def __post_init__(self) -> None:

@@ -15,20 +15,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def exact_dup_groups(files: DataFrame, min_size: int = 1) -> DataFrame:
+def exact_dup_groups(
+    files: DataFrame, min_size: int = 1, member_cap: int = 1000
+) -> DataFrame:
     """Groups of byte-identical content: (sha, n_files, size, members).
 
-    members sorted for determinism (reference scan order, SURVEY W5).
+    members sorted for determinism (reference scan order, SURVEY W5)
+    and capped at ``member_cap`` BEFORE the collect (window rank, not a
+    post-slice): a boilerplate sha holding 5% of a 10^12-row corpus
+    would otherwise materialize billions of fids in one aggregation
+    buffer. ``n_files`` still counts every member. The rank window and
+    the groupBy share the sha hash-partitioning, so the cap costs no
+    extra shuffle.
     """
-    return (
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sha").orderBy(F.concat_ws("/", "repo", "path"))
+    ranked = (
         files.filter(F.col("size") >= min_size)
         .filter(F.col("sha").isNotNull())
-        .groupBy("sha")
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy("sha")
         .agg(
             F.count("*").alias("n_files"),
             F.first("size").alias("size"),
             F.array_sort(
-                F.collect_list(F.concat_ws("/", "repo", "path"))
+                F.collect_list(
+                    F.when(
+                        F.col("_rn") <= member_cap,
+                        F.concat_ws("/", "repo", "path"),
+                    )
+                )
             ).alias("members"),
         )
         .filter(F.col("n_files") > 1)

@@ -152,6 +152,24 @@ def test_substring_mode_finds_shared_blocks(spark):
     assert not any("r3/c.py" in p for pair in pairs for p in pair)
 
 
+def test_exact_dup_groups_member_cap(spark):
+    """The display members list is capped pre-collect (skew guard);
+    n_files still counts all members."""
+    from deduplidog_spark.ingest import ingest
+    from deduplidog_spark.operators.exact import exact_dup_groups
+
+    rows = [
+        dict(repo=f"r{i}", path="same.txt", commit="c0", lang="txt",
+             content="identical", mtime=FX.T0, is_symlink=False)
+        for i in range(5)
+    ]
+    files = ingest(FX.to_spark_df(spark, rows), DedupConfig())
+    out = exact_dup_groups(files, member_cap=3).collect()
+    assert len(out) == 1
+    assert out[0].n_files == 5
+    assert out[0].members == ["r0/same.txt", "r1/same.txt", "r2/same.txt"]
+
+
 def test_hash_gate_rows_never_become_candidates(spark):
     """F6 hash-cost gate: rows above hash_max_size get NULL signatures
     and must be EXCLUDED from LSH — not collide into one NULL-hash
