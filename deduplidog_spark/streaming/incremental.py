@@ -64,6 +64,96 @@ def streaming_signatures(stream: DataFrame, cfg: DedupConfig) -> DataFrame:
     return sigs.select("fid", "sha", F.octet_length("content").alias("size"), "band_hashes")
 
 
+def streaming_band_rows(stream: DataFrame, cfg: DedupConfig, watermark: str = "1 hour") -> DataFrame:
+    """Exploded (band_id, band_hash, fid, mtime) rows on the stream —
+    the streaming half of LSH candidate generation."""
+    sigs = mh.with_band_hashes(
+        mh.with_signatures(
+            stream.withColumn("fid", F.concat_ws("/", "repo", "path")), cfg
+        ),
+        cfg,
+    ).withWatermark("mtime", watermark)
+    return sigs.select(
+        "fid",
+        "mtime",
+        F.posexplode("band_hashes").alias("band_id", "band_hash"),
+    )
+
+
+def streaming_candidate_pairs(
+    stream: DataFrame,
+    cfg: DedupConfig,
+    watermark: str = "1 hour",
+    horizon_ms: int = 3_600_000,
+):
+    """Custom stateful operator (applyInPandasWithState): incremental
+    LSH candidate pairs. Each (band_id, band_hash) bucket keeps the
+    fids seen so far as group state; a new arrival emits (old × new)
+    candidate pairs immediately — the streaming counterpart of
+    ``candidates.lsh_candidate_pairs``.
+
+    State is bounded on BOTH axes the batch path guards:
+    - time: EventTimeTimeout — a bucket idle past the watermark +
+      ``horizon_ms`` is evicted, so state size follows the arrival
+      horizon, not corpus age (pairs against evicted history come from
+      the periodic batch join over the signature sink, run_incremental);
+    - skew: buckets that exceed ``cfg.max_bucket_size`` stop emitting
+      and stop growing (saturation sentinel), exactly like the batch
+      bucket cap — a hot boilerplate bucket cannot go O(h²) in a
+      micro-batch.
+
+    Emitted pairs are per-band; band-duplicate pairs are expected (LSH
+    semantics) and deduplicated downstream like the batch path does.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cap = cfg.max_bucket_size
+    band_rows = streaming_band_rows(stream, cfg, watermark)
+
+    def gen_pairs(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"id_a": [], "id_b": []})
+            return
+        (known,) = state.get if state.exists else ([],)
+        known = list(known)
+        saturated = len(known) > cap
+        out_a, out_b = [], []
+        max_event_ms = 0
+        for pdf in pdfs:
+            if len(pdf):
+                # timeout must anchor on event time: on the FIRST batch
+                # the watermark is still 0, and horizon-from-zero would
+                # evict everything as soon as real event times arrive
+                max_event_ms = max(
+                    max_event_ms, int(pdf["mtime"].max().timestamp() * 1000)
+                )
+            for fid in pdf["fid"]:
+                if saturated:
+                    continue
+                for old in known:
+                    if old != fid:
+                        a, b = (old, fid) if old < fid else (fid, old)
+                        out_a.append(a)
+                        out_b.append(b)
+                known.append(fid)
+                if len(known) > cap:
+                    saturated = True
+        state.update((known[: cap + 1],))
+        base = max(state.getCurrentWatermarkMs(), max_event_ms)
+        state.setTimeoutTimestamp(base + horizon_ms)
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return band_rows.groupBy("band_id", "band_hash").applyInPandasWithState(
+        gen_pairs,
+        outputStructType="id_a string, id_b string",
+        stateStructType="fids array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_incremental(
     stream: DataFrame,
     cfg: DedupConfig,

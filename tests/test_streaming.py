@@ -85,7 +85,59 @@ def test_streaming_state_evicted_beyond_watermark(spark):
     assert got == {"dupX": 2, "uniq": 1}, got
 
 
-def test_streaming_signatures_schema(spark):
+def test_streaming_candidate_pairs_stateful(spark):
+    """applyInPandasWithState LSH buckets: a new arrival pairs with the
+    bucket's remembered members across micro-batches; once the
+    watermark passes the bucket's horizon the state is evicted and a
+    much-later lookalike emits no pairs (bounded state — the batch
+    join over the signature sink owns cross-horizon pairs)."""
+    from datetime import datetime
+
+    from deduplidog_spark.streaming.incremental import streaming_candidate_pairs
+
+    tmp = tempfile.mkdtemp()
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ck"))
+    text = "def shared_function(): return compute(alpha, beta, gamma) # common"
+    t = lambda h: datetime(2026, 1, 1, h, 0)  # noqa: E731
+
+    def cycle(rows):
+        FX.to_spark_df(spark, rows).write.mode("append").parquet(src)
+        stream = read_file_stream(spark, src, FX.FILES_SCHEMA)
+        q = (
+            streaming_candidate_pairs(
+                stream, DedupConfig(mode="minhash"), watermark="1 hour",
+                horizon_ms=3_600_000,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def row(repo, path, hours, content=text):
+        return dict(repo=repo, path=path, commit="c0", lang="py",
+                    content=content, mtime=t(hours), is_symlink=False)
+
+    cycle([row("r1", "a.py", 10)])   # first member: no pairs
+    cycle([row("r2", "b.py", 10)])   # pairs with remembered a.py
+    # two watermark-pusher batches with unrelated content: the first
+    # advances the watermark past the a/b bucket's horizon (10:00+1h),
+    # the second is the no-new-data batch in which that bucket's
+    # timeout actually fires and its state is removed
+    cycle([row("rx", "far1.py", 20, "totally unrelated content one xxxxxx")])
+    cycle([row("ry", "far2.py", 21, "entirely different content two yyyy")])
+    # post-eviction lookalike: lands in the same bucket key but the
+    # remembered members are gone → no pairs against a/b
+    cycle([row("r3", "c.py", 21)])
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(out).dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    assert ("r1/a.py", "r2/b.py") in got
+    assert not any("c.py" in a or "c.py" in b for a, b in got), got
     tmp = tempfile.mkdtemp()
     src = os.path.join(tmp, "in")
     FX.to_spark_df(spark, FX.corpus_b_rows()).write.parquet(src)
