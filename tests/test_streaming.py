@@ -138,6 +138,9 @@ def test_streaming_candidate_pairs_stateful(spark):
     }
     assert ("r1/a.py", "r2/b.py") in got
     assert not any("c.py" in a or "c.py" in b for a, b in got), got
+
+
+def test_streaming_signatures_schema(spark):
     tmp = tempfile.mkdtemp()
     src = os.path.join(tmp, "in")
     FX.to_spark_df(spark, FX.corpus_b_rows()).write.parquet(src)
