@@ -672,6 +672,106 @@ def q_dedup_pipeline(spark, sf_dir):
     return dedupe(docs, cfg).plan
 
 
+def q_minhash_vs_truth(spark, sf_dir):
+    """MinHash-LSH + exact verify, closed against the exhaustive O(n²)
+    truth set — which IS SQL-expressible, so this upgrades the minhash
+    path from a rows-only check to a value-checked one
+    (q_minhash_pairs stays as the production-config variant).
+
+    Why equality is deterministic here: the corpus's 5-gram Jaccard
+    distribution is bimodal with a wide gap around τ=0.6 (all true
+    pairs sit ≥ 0.8, the next pair below at ≈ 0.45), and the B=32/r=4
+    S-curve detects J ≥ 0.8 with probability 1 − (1 − 0.8⁴)³² ≈
+    1 − 10⁻⁷ — and the hashing is seeded, so the outcome is a fixed
+    fact of the data, checked by scripts/check_oracle.py. Precision is
+    exact by construction: candidates are re-verified with the same
+    JVM char-5-gram Jaccard the oracle computes."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = DedupConfig(
+        mode="minhash", shingle_k=5, jaccard_threshold=0.6,
+        max_bucket_size=1_000_000,
+    )
+    files = d.select(
+        F.format_string("d%06d", "doc_id").alias("fid"),
+        F.col("text").alias("content"),
+    )
+    sigs = mh.with_signatures(files, cfg)
+    bands = mh.with_band_hashes(sigs, cfg)
+    pairs, _ = lsh_candidate_pairs(mh.explode_bands(bands), cfg)
+    texts = files.select("fid", "content")
+    return (
+        pairs.join(
+            texts.select(F.col("fid").alias("id_a"), F.col("content").alias("ta")),
+            "id_a",
+        )
+        .join(
+            texts.select(F.col("fid").alias("id_b"), F.col("content").alias("tb")),
+            "id_b",
+        )
+        .withColumn("jaccard5", F.round(ts.ngram_jaccard(F.col("ta"), F.col("tb"), 5), 6))
+        .filter(F.col("jaccard5") >= cfg.jaccard_threshold)
+        .select(
+            F.substring("id_a", 2, 6).cast("long").alias("doc_id_a"),
+            F.substring("id_b", 2, 6).cast("long").alias("doc_id_b"),
+            "jaccard5",
+        )
+    )
+
+
+# fixed id subset for the winnowing-guarantee contract query: the
+# corpus's planted near-dup pairs plus controls — all-pairs LCS over 19
+# docs is cheap for the DuckDB oracle, and the subset contains pairs
+# right at the guarantee boundary (LCS 26 vs threshold 23)
+_SUBSTR_IDS = (0, 1, 2, 8, 45, 58, 61, 70, 98, 166, 185, 245, 267, 290,
+               293, 301, 323, 413, 447)
+
+
+def q_substring_verified(spark, sf_dir):
+    """Substring mode closed against exhaustive truth via the
+    winnowing guarantee (Schleimer et al., SIGMOD'03, thm. at §2):
+    every pair sharing a substring of length ≥ window + k − 1 (= 23
+    here) shares a winnowed fingerprint, so candidates ⊇ truth; the
+    exact LCS verifier then trims candidates to exactly the pairs with
+    LCS ≥ 23 — equal to the all-pairs SQL oracle (diagonal run-length
+    LCS). Upgrades substring mode from rows-only (q_substring_pairs)
+    to value-checked."""
+    from deduplidog_spark.operators.verify import make_lcs_udf
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isin(list(_SUBSTR_IDS)))
+    )
+    cfg = DedupConfig(
+        mode="substring", fingerprint_k=16, fingerprint_window=8,
+        max_bucket_size=1_000_000,
+    )
+    files = d.select(
+        F.format_string("d%06d", "doc_id").alias("fid"),
+        F.col("text").alias("content"),
+    )
+    fps = ss.with_fingerprints(files, cfg)
+    pairs, _ = lsh_candidate_pairs(ss.explode_fingerprints(fps), cfg)
+    lcs = make_lcs_udf()
+    return (
+        pairs.join(
+            files.select(F.col("fid").alias("id_a"), F.col("content").alias("ta")),
+            "id_a",
+        )
+        .join(
+            files.select(F.col("fid").alias("id_b"), F.col("content").alias("tb")),
+            "id_b",
+        )
+        .withColumn("lcs_len", lcs(F.col("ta"), F.col("tb")))
+        .filter(F.col("lcs_len") >= cfg.effective_substring_min_len)
+        .select(
+            F.substring("id_a", 2, 6).cast("long").alias("doc_id_a"),
+            F.substring("id_b", 2, 6).cast("long").alias("doc_id_b"),
+            F.col("lcs_len").cast("int").alias("lcs_len"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_counters": q_agg_counters,
@@ -715,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": q_substring_pairs,
         "ann_lsh": q_ann_lsh,
         "dedup_pipeline": q_dedup_pipeline,
+        "minhash_vs_truth": q_minhash_vs_truth,
+        "substring_verified": q_substring_verified,
     }
 
 
@@ -858,6 +960,55 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_lsh": _ann_oracle_sql(),
+        # exhaustive O(n²) truth for the MinHash-LSH pipeline: all
+        # pairs with char-5-gram Jaccard ≥ 0.6 (see q_minhash_vs_truth
+        # for why LSH output equals this set deterministically)
+        "minhash_vs_truth": """
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(text)-4, 1)+1),
+                           i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+                FROM documents),
+            j AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                             / (len(a.g) + len(b.g)
+                                - len(list_intersect(a.g, b.g))),
+                             6) AS jaccard5
+                FROM grams a JOIN grams b ON b.doc_id > a.doc_id)
+            SELECT doc_id_a, doc_id_b, jaccard5 FROM j
+            WHERE jaccard5 >= 0.6
+        """,
+        # exhaustive all-pairs longest-common-substring ≥ 23 over the
+        # fixed id subset (winnowing guarantee closes the Spark side
+        # against this — q_substring_verified docstring)
+        "substring_verified": """
+            WITH pairs AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, a.text AS ta, b.text AS tb
+              FROM documents a JOIN documents b ON b.doc_id > a.doc_id
+              WHERE a.doc_id IN (0,1,2,8,45,58,61,70,98,166,185,245,267,
+                                 290,293,301,323,413,447)
+                AND b.doc_id IN (0,1,2,8,45,58,61,70,98,166,185,245,267,
+                                 290,293,301,323,413,447)),
+            pos AS (
+              SELECT ia, ib, r1.i, r2.j
+              FROM pairs,
+                   LATERAL (SELECT unnest(range(1, len(ta)+1)) AS i) r1,
+                   LATERAL (SELECT unnest(range(1, len(tb)+1)) AS j) r2
+              WHERE substr(ta, CAST(r1.i AS INTEGER), 1)
+                    = substr(tb, CAST(r2.j AS INTEGER), 1)),
+            runs AS (
+              SELECT ia, ib, i - j AS d, i,
+                     i - row_number() OVER (PARTITION BY ia, ib, i - j ORDER BY i)
+                         AS island
+              FROM pos),
+            lens AS (SELECT ia, ib, count(*) AS run_len
+                     FROM runs GROUP BY ia, ib, d, island)
+            SELECT ia AS doc_id_a, ib AS doc_id_b,
+                   CAST(max(run_len) AS INTEGER) AS lcs_len
+            FROM lens GROUP BY ia, ib HAVING max(run_len) >= 23
+        """,
         # LCS length is SQL-expressible: matched char positions (i,j)
         # lie on diagonals d=i-j; the LCS is the longest consecutive
         # i-run per diagonal (row_number island trick) — an independent

@@ -221,7 +221,7 @@ def main() -> None:
         thr_n = BENCH_ROWS / t_n
         thr_4n = BENCH_ROWS / t_4n
         eff = thr_4n / (4.0 * thr_n)
-        out["scaling"] = {
+        exp = {
             "pairs": pairs,
             "n_cores": n,
             "t_n_sec_runs": [round(t, 2) for t in t_n_runs],
@@ -234,21 +234,37 @@ def main() -> None:
             "efficiency": round(eff, 3),
             "bench_rows": BENCH_ROWS,
         }
+        out["scaling"] = exp
         try:
+            data = {"primary": exp, "experiments": [exp]}
+            if os.path.exists(scaling_cache):
+                with open(scaling_cache) as fh:
+                    old = json.load(fh)
+                if "experiments" in old:
+                    old["experiments"] = [
+                        e for e in old["experiments"]
+                        if (e["n_cores"], e["bench_rows"]) != (n, BENCH_ROWS)
+                    ] + [exp]
+                    data = old
             with open(scaling_cache, "w") as fh:
-                json.dump(out["scaling"], fh)
-        except OSError:
+                json.dump(data, fh)
+        except (OSError, ValueError):
             pass
     elif os.path.exists(scaling_cache):
         # the N→4N evidence takes ~6 isolated JVM runs (tens of minutes
         # at useful corpus sizes) — too slow for every default bench
-        # invocation, so embed the last measured block with provenance;
-        # regenerate any time with SPARK_GRAFT_SCALING=1
+        # invocation, so embed the last measured block(s) with
+        # provenance; regenerate with SPARK_GRAFT_SCALING=1 or
+        # scripts/scaling_run.py
         try:
             with open(scaling_cache) as fh:
                 cached = json.load(fh)
-            cached["cached"] = True
-            out["scaling"] = cached
+            if "experiments" in cached:  # multi-experiment format
+                out["scaling"] = dict(cached["primary"], cached=True)
+                out["scaling_experiments"] = cached["experiments"]
+            else:
+                cached["cached"] = True
+                out["scaling"] = cached
         except (OSError, ValueError):
             pass
 

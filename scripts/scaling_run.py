@@ -1,0 +1,119 @@
+"""Scaling-efficiency experiment runner (north_rule evidence).
+
+The rule asks for throughput scaling efficiency >= 0.8 from N to 4N
+executors. No real cluster exists in this sandbox, so the directed
+proxy is: the SAME dedup job on the SAME input at local[N] vs
+local[4N], fresh JVM per measurement, alternating pairs, medians.
+
+Usage:
+    python scripts/scaling_run.py N ROWS PAIRS [--primary]
+
+Runs the bench headline job (bench.py --once) at local[N] and
+local[4N] with PAIRS alternating repetitions on a ROWS-row synthetic
+corpus, then records the experiment into scaling_results.json as
+
+    {"primary": {...}, "experiments": [{...}, ...]}
+
+bench.py embeds this file into its JSON line (key "scaling" =
+primary, "scaling_experiments" = all), so the driver's BENCH_r{N}.json
+carries the full evidence.
+
+--primary marks this experiment as the headline one. Experiments are
+keyed by (n_cores, bench_rows); re-running replaces the old entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RESULTS = os.path.join(REPO, "scaling_results.json")
+
+
+def _ensure_corpus(rows: int) -> str:
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"bench_corpus_{rows}")
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        from deduplidog_spark.benchgen import synth_corpus
+        from deduplidog_spark.session import get_spark
+
+        spark = get_spark(
+            "scaling-gen", master="local[16]", shuffle_partitions=16,
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        synth_corpus(spark, rows).write.mode("overwrite").parquet(corpus_dir)
+        spark.stop()
+    return corpus_dir
+
+
+def _once(cores: int, corpus_dir: str, rows: int) -> float:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--once",
+         str(cores), corpus_dir, str(rows)],
+        capture_output=True, text=True, check=True,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n = int(sys.argv[1])
+    rows = int(sys.argv[2])
+    pairs = int(sys.argv[3])
+    primary = "--primary" in sys.argv
+
+    corpus_dir = _ensure_corpus(rows)
+    n4 = 4 * n
+    t_n_runs, t_4n_runs = [], []
+    for i in range(pairs):
+        t_n_runs.append(_once(n, corpus_dir, rows))
+        print(f"pair {i + 1}: local[{n}] = {t_n_runs[-1]:.1f}s", flush=True)
+        t_4n_runs.append(_once(n4, corpus_dir, rows))
+        print(f"pair {i + 1}: local[{n4}] = {t_4n_runs[-1]:.1f}s", flush=True)
+
+    t_n = statistics.median(t_n_runs)
+    t_4n = statistics.median(t_4n_runs)
+    thr_n, thr_4n = rows / t_n, rows / t_4n
+    exp = {
+        "pairs": pairs,
+        "n_cores": n,
+        "t_n_sec_runs": [round(t, 2) for t in t_n_runs],
+        "t_n_sec": round(t_n, 2),
+        "files_per_sec_n": round(thr_n, 1),
+        "n4_cores": n4,
+        "t_4n_sec_runs": [round(t, 2) for t in t_4n_runs],
+        "t_4n_sec": round(t_4n, 2),
+        "files_per_sec_4n": round(thr_4n, 1),
+        "efficiency": round(thr_4n / (4.0 * thr_n), 3),
+        "bench_rows": rows,
+        "measured_unix": int(time.time()),
+    }
+
+    data = {"primary": None, "experiments": []}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as fh:
+            old = json.load(fh)
+        if "experiments" in old:
+            data = old
+        elif old.get("n_cores"):  # legacy single-block format
+            data = {"primary": old, "experiments": [old]}
+    data["experiments"] = [
+        e for e in data["experiments"]
+        if (e["n_cores"], e["bench_rows"]) != (n, rows)
+    ] + [exp]
+    if primary or data.get("primary") is None:
+        data["primary"] = exp
+    with open(RESULTS, "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(json.dumps(exp))
+
+
+if __name__ == "__main__":
+    main()
