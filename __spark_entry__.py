@@ -718,6 +718,59 @@ def q_minhash_vs_truth(spark, sf_dir):
     )
 
 
+def q_simhash_vs_truth(spark, sf_dir):
+    """SimHash mode closed against the same exhaustive truth set as
+    q_minhash_vs_truth, upgrading V4 from rows-only to value-checked.
+
+    Recall is deterministic, not probabilistic, in two steps: (1) on
+    this corpus every J ≥ 0.6 pair has simhash Hamming distance ≤ 5
+    while the closest background pair sits at 6 (a fixed, seeded fact
+    of the data); (2) the pigeonhole chunk join has recall 1.0 for the
+    Hamming bound by construction — q = h+1 chunks, ≤ h differing bits
+    ⇒ at least one chunk agrees exactly. Precision: candidates are
+    re-verified with bit_count(a^b) ≤ 5 AND the same JVM char-5-gram
+    Jaccard the oracle computes, so output = truth exactly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = DedupConfig(
+        mode="simhash", shingle_k=5, simhash_max_hamming=5,
+        jaccard_threshold=0.6, max_bucket_size=1_000_000,
+    )
+    files = d.select(
+        F.format_string("d%06d", "doc_id").alias("fid"),
+        F.col("text").alias("content"),
+    )
+    sigs = sh.with_simhash(files, cfg)
+    chunks = sh.with_simhash_chunks(sigs, cfg)
+    pairs, _ = lsh_candidate_pairs(mh.explode_bands(chunks), cfg)
+    sig_slim = sigs.select("fid", "simhash")
+    return (
+        pairs.join(
+            sig_slim.select(F.col("fid").alias("id_a"), F.col("simhash").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sig_slim.select(F.col("fid").alias("id_b"), F.col("simhash").alias("sh_b")),
+            "id_b",
+        )
+        .filter(sh.hamming_distance(F.col("sh_a"), F.col("sh_b")) <= cfg.simhash_max_hamming)
+        .join(
+            files.select(F.col("fid").alias("id_a"), F.col("content").alias("ta")),
+            "id_a",
+        )
+        .join(
+            files.select(F.col("fid").alias("id_b"), F.col("content").alias("tb")),
+            "id_b",
+        )
+        .withColumn("jaccard5", F.round(ts.ngram_jaccard(F.col("ta"), F.col("tb"), 5), 6))
+        .filter(F.col("jaccard5") >= cfg.jaccard_threshold)
+        .select(
+            F.substring("id_a", 2, 6).cast("long").alias("doc_id_a"),
+            F.substring("id_b", 2, 6).cast("long").alias("doc_id_b"),
+            "jaccard5",
+        )
+    )
+
+
 # fixed id subset for the winnowing-guarantee contract query: the
 # corpus's planted near-dup pairs plus controls — all-pairs LCS over 19
 # docs is cheap for the DuckDB oracle, and the subset contains pairs
@@ -816,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "dedup_pipeline": q_dedup_pipeline,
         "minhash_vs_truth": q_minhash_vs_truth,
+        "simhash_vs_truth": q_simhash_vs_truth,
         "substring_verified": q_substring_verified,
     }
 
@@ -964,6 +1018,25 @@ def oracle_sql() -> dict[str, str]:
         # pairs with char-5-gram Jaccard ≥ 0.6 (see q_minhash_vs_truth
         # for why LSH output equals this set deterministically)
         "minhash_vs_truth": """
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(text)-4, 1)+1),
+                           i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+                FROM documents),
+            j AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                             / (len(a.g) + len(b.g)
+                                - len(list_intersect(a.g, b.g))),
+                             6) AS jaccard5
+                FROM grams a JOIN grams b ON b.doc_id > a.doc_id)
+            SELECT doc_id_a, doc_id_b, jaccard5 FROM j
+            WHERE jaccard5 >= 0.6
+        """,
+        # same exhaustive truth set for the simhash path (see
+        # q_simhash_vs_truth: Hamming gap + pigeonhole recall close it)
+        "simhash_vs_truth": """
             WITH grams AS (
                 SELECT doc_id,
                        list_distinct(list_transform(
