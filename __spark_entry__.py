@@ -718,6 +718,52 @@ def q_minhash_vs_truth(spark, sf_dir):
     )
 
 
+def q_symlink_janitor(spark, sf_dir):
+    """X9a (reference utils.py:177-187): symlinks whose target resolves
+    under a prefix → 'mark_symlink' plan rows. Symlink columns are
+    derived deterministically from doc_id (the testdata tables carry no
+    FS metadata), so the oracle is a plain filter."""
+    from deduplidog_spark.operators.actions import mark_symlinks_by_target
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("lang"), F.lit("/doc_"), F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+        (F.col("doc_id") % 3 == 0).alias("is_symlink"),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("/media/disk/"), F.col("source"), F.lit("/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/backup/"), F.col("doc_id").cast("string")),
+        )
+        .alias("symlink_target"),
+    )
+    return mark_symlinks_by_target(files, "/media/disk")
+
+
+def q_symlink_dirs(spark, sf_dir):
+    """X9b (reference utils.py:189-193): directories consisting solely
+    of symlinks — one bool_and aggregate per (repo, dir)."""
+    from deduplidog_spark.operators.actions import symlink_only_dirs
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("lang"), F.lit("/doc_"), F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+        ((F.col("lang") == "python") | (F.col("doc_id") % 2 == 0)).alias("is_symlink"),
+    )
+    return symlink_only_dirs(files)
+
+
 def q_simhash_vs_truth(spark, sf_dir):
     """SimHash mode closed against the same exhaustive truth set as
     q_minhash_vs_truth, upgrading V4 from rows-only to value-checked.
@@ -870,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": q_dedup_pipeline,
         "minhash_vs_truth": q_minhash_vs_truth,
         "simhash_vs_truth": q_simhash_vs_truth,
+        "symlink_janitor": q_symlink_janitor,
+        "symlink_dirs": q_symlink_dirs,
         "substring_verified": q_substring_verified,
     }
 
@@ -1033,6 +1081,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams a JOIN grams b ON b.doc_id > a.doc_id)
             SELECT doc_id_a, doc_id_b, jaccard5 FROM j
             WHERE jaccard5 >= 0.6
+        """,
+        "symlink_janitor": """
+            SELECT source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) AS fid,
+                   source AS repo,
+                   lang || '/doc_' || CAST(doc_id AS VARCHAR) AS path,
+                   '/media/disk/' || source || '/' || CAST(doc_id AS VARCHAR) AS target,
+                   'mark_symlink' AS action
+            FROM documents WHERE doc_id % 6 = 0
+        """,
+        "symlink_dirs": """
+            SELECT source AS repo, lang AS dir, count(*) AS n_files
+            FROM documents
+            GROUP BY source, lang
+            HAVING bool_and(lang = 'python' OR doc_id % 2 = 0)
         """,
         # same exhaustive truth set for the simhash path (see
         # q_simhash_vs_truth: Hamming gap + pigeonhole recall close it)

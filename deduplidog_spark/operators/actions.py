@@ -153,6 +153,54 @@ def revert_plan(plan: DataFrame) -> DataFrame:
     )
 
 
+def mark_symlinks_by_target(
+    files: DataFrame, starting_path: str, target_col: str = "symlink_target"
+) -> DataFrame:
+    """X9a symlink janitor (reference utils.py:177-187
+    ``mark_symlink_by_target``: renames with a '→' prefix every symlink
+    whose resolved target lies under ``starting_path``): emitted here
+    as 'mark_symlink' plan rows over the files table — FS mutation
+    stays plan-driven like X1-X5.
+
+    Expects a ``target_col`` string column (the scan records the link
+    target; ``read_binary_tree`` rows that aren't symlinks carry NULL).
+    """
+    hit = (
+        F.col("is_symlink")
+        & F.col(target_col).isNotNull()
+        & F.col(target_col).startswith(starting_path)
+    )
+    return files.filter(hit).select(
+        F.concat_ws("/", "repo", "path").alias("fid"),
+        "repo",
+        "path",
+        F.col(target_col).alias("target"),
+        F.lit("mark_symlink").alias("action"),
+    )
+
+
+def symlink_only_dirs(files: DataFrame) -> DataFrame:
+    """X9b (reference utils.py:189-193 ``mark_symlink_only_dirs``:
+    renames directories that contain only symlinks): per (repo,
+    directory) group, flag those whose every member is a symlink — one
+    bool_and aggregate. Empty directories don't exist in a table of
+    files, so the reference's "or empty" clause is vacuous here."""
+    dirname = F.when(
+        F.col("path").contains("/"),
+        F.regexp_replace(F.col("path"), "/[^/]*$", ""),
+    ).otherwise(F.lit(""))
+    return (
+        files.withColumn("dir", dirname)
+        .groupBy("repo", "dir")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.bool_and(F.col("is_symlink")).alias("all_symlinks"),
+        )
+        .filter(F.col("all_symlinks"))
+        .select("repo", "dir", "n_files")
+    )
+
+
 def run_metrics(plan: DataFrame, files: DataFrame) -> DataFrame:
     """A3 run counters as one aggregate row: affected count/size,
     warning count, ignored count (deduplidog.py:243-252,315-325)."""

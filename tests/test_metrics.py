@@ -119,3 +119,33 @@ def test_revert_plan_inverts_fired_actions(spark):
     res2 = dedupe(df, DedupConfig(mode="exact", action="delete"))
     inv2 = revert_plan(res2.plan).collect()
     assert inv2 and all(r.action == "restore" for r in inv2)
+
+
+def test_symlink_janitor_by_target_and_dirs(spark):
+    """X9 (reference utils.py:177-193): mark symlinks under a target
+    prefix; flag directories made solely of symlinks."""
+    from deduplidog_spark.operators.actions import (
+        mark_symlinks_by_target,
+        symlink_only_dirs,
+    )
+
+    rows = [
+        # (repo, path, is_symlink, symlink_target)
+        ("r1", "a/f1.py", False, None),
+        ("r1", "a/f2.py", True, "/media/disk/orig/f2.py"),   # hit
+        ("r1", "b/l1.py", True, "/media/disk/orig/l1.py"),   # hit, dir b all-symlink
+        ("r1", "b/l2.py", True, "/elsewhere/l2.py"),         # miss (target), dir b
+        ("r1", "root.py", False, None),                      # top-level, dir ""
+        ("r2", "c/l3.py", True, "/media/disk/x"),            # hit, dir c all-symlink
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, is_symlink boolean, symlink_target string"
+    )
+    marked = mark_symlinks_by_target(df, "/media/disk")
+    got = {(r.repo, r.path) for r in marked.collect()}
+    assert got == {("r1", "a/f2.py"), ("r1", "b/l1.py"), ("r2", "c/l3.py")}
+    assert all(r.action == "mark_symlink" for r in marked.collect())
+
+    dirs = {(r.repo, r.dir): r.n_files for r in symlink_only_dirs(df).collect()}
+    # a has a non-symlink, "" (root) has a non-symlink; b and c qualify
+    assert dirs == {("r1", "b"): 2, ("r2", "c"): 1}
