@@ -718,6 +718,33 @@ def q_minhash_vs_truth(spark, sf_dir):
     )
 
 
+def q_embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup (task brief, dedup family): all vector
+    pairs with cosine ≥ τ — exact upper-triangle self-join, JVM
+    zip_with/aggregate arithmetic, value-checked against DuckDB's
+    list_cosine_similarity. This is the correctness baseline; the scale
+    path for the same semantics is the bucketed multi-table LSH in
+    q_ann_lsh / similarity.lsh_ann_topk (candidates → exact-cosine
+    verify), which avoids the O(n²) join."""
+    from deduplidog_spark.operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vb"),
+    )
+    return (
+        a.join(b, F.col("vec_id_b") > F.col("vec_id_a"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= 0.45)
+        .select("vec_id_a", "vec_id_b", "cosine_sim")
+    )
+
+
 def q_symlink_janitor(spark, sf_dir):
     """X9a (reference utils.py:177-187): symlinks whose target resolves
     under a prefix → 'mark_symlink' plan rows. Symlink columns are
@@ -916,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": q_dedup_pipeline,
         "minhash_vs_truth": q_minhash_vs_truth,
         "simhash_vs_truth": q_simhash_vs_truth,
+        "embedding_near_pairs": q_embedding_near_pairs,
         "symlink_janitor": q_symlink_janitor,
         "symlink_dirs": q_symlink_dirs,
         "substring_verified": q_substring_verified,
@@ -1081,6 +1109,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams a JOIN grams b ON b.doc_id > a.doc_id)
             SELECT doc_id_a, doc_id_b, jaccard5 FROM j
             WHERE jaccard5 >= 0.6
+        """,
+        "embedding_near_pairs": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                       AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.45
         """,
         "symlink_janitor": """
             SELECT source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) AS fid,
