@@ -718,6 +718,26 @@ def q_minhash_vs_truth(spark, sf_dir):
     )
 
 
+def q_numeric_delta_gate(spark, sf_dir):
+    """V5 proper (accepted_frame_delta analog): absolute-delta gate on
+    a cheap numeric feature before expensive verify — here token count
+    (the testdata documents carry no newlines, so the pipeline's
+    n_lines feature is degenerate on this table; the operator is the
+    same JVM comparison either way)."""
+    from deduplidog_spark.operators.verify import numeric_delta_gate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", ts.token_count(F.col("text")).alias("n_tok")
+    )
+    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("n_tok").alias("tok_a"))
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("n_tok").alias("tok_b"))
+    return (
+        a.join(b, F.col("doc_id_b") == F.col("doc_id_a") + 1)
+        .filter(numeric_delta_gate(F.col("tok_a"), F.col("tok_b"), 2))
+        .select("doc_id_a", "doc_id_b", "tok_a", "tok_b")
+    )
+
+
 def q_embedding_near_pairs(spark, sf_dir):
     """Embedding-cosine near-dup (task brief, dedup family): all vector
     pairs with cosine ≥ τ — exact upper-triangle self-join, JVM
@@ -944,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_vs_truth": q_minhash_vs_truth,
         "simhash_vs_truth": q_simhash_vs_truth,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "numeric_delta_gate": q_numeric_delta_gate,
         "symlink_janitor": q_symlink_janitor,
         "symlink_dirs": q_symlink_dirs,
         "substring_verified": q_substring_verified,
@@ -1109,6 +1130,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams a JOIN grams b ON b.doc_id > a.doc_id)
             SELECT doc_id_a, doc_id_b, jaccard5 FROM j
             WHERE jaccard5 >= 0.6
+        """,
+        "numeric_delta_gate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END
+                           AS n_tok
+                FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   a.n_tok AS tok_a, b.n_tok AS tok_b
+            FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+            WHERE abs(a.n_tok - b.n_tok) <= 2
         """,
         "embedding_near_pairs": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

@@ -63,6 +63,10 @@ class DedupConfig:
     substring_min_len: int | None = None  # verified LCS ≥ this (default w+k-1)
     max_bucket_size: int = 200  # LSH bucket cap (skew guard; drops logged)
     size_ratio_prefilter: float = 0.5  # V5 analog: |len ratio| cheap gate
+    # V5 proper (accepted_frame_delta, deduplidog.py:144-145,727-731):
+    # absolute delta on a cheap numeric feature — here line count —
+    # gates pairs before the expensive content verify; None = off
+    line_delta_max: int | None = None
     hash_max_size: int | None = None  # F6: no signature above N bytes
     seed: int = 42
 

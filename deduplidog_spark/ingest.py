@@ -79,6 +79,13 @@ def with_derived_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
         .withColumn("ext", F.lower(ext))
         .withColumn("stem", stem)
         .withColumn("size", F.octet_length("content").cast("long"))
+        # V5 cheap numeric feature (frame-count analog): line count,
+        # computed in-scan where content is already resident — the
+        # numeric-delta verify gate reads this off the slim table so
+        # gating never re-touches content
+        .withColumn(
+            "n_lines", (F.size(F.split(F.col("content"), "\n", -1))).cast("long")
+        )
         .withColumn("sha", F.sha2(F.col("content"), 256))
         # P2 quarantine: an unreadable row (NULL content — the table
         # analog of the reference's retry-then-skip on I/O error,

@@ -27,6 +27,15 @@ def size_ratio_gate(size_a, size_b, min_ratio: float):
     return (F.least(size_a, size_b).cast("double") / F.greatest(size_a, size_b)) >= min_ratio
 
 
+def numeric_delta_gate(a, b, max_delta: int):
+    """V5 proper (reference accepted_frame_delta,
+    deduplidog.py:144-145,727-731: ``abs(frames(w) - frames(o)) <=
+    delta``): absolute-delta predicate on a cheap numeric feature —
+    pure JVM comparison, applied to the slim table before any content
+    is touched."""
+    return F.abs(a - b) <= max_delta
+
+
 def make_jaccard_udf(cfg: DedupConfig):
     k = cfg.shingle_k
 
@@ -132,6 +141,24 @@ def verify_candidate_pairs(
             .filter(
                 size_ratio_gate(F.col("size_a"), F.col("size_b"), cfg.size_ratio_prefilter)
             )
+            .select("id_a", "id_b")
+        )
+    if cfg.line_delta_max is not None and "n_lines" in files.columns:
+        nls = files.select("fid", "n_lines")
+        out = (
+            out.join(
+                nls.withColumnRenamed("fid", "id_a").withColumnRenamed(
+                    "n_lines", "nl_a"
+                ),
+                "id_a",
+            )
+            .join(
+                nls.withColumnRenamed("fid", "id_b").withColumnRenamed(
+                    "n_lines", "nl_b"
+                ),
+                "id_b",
+            )
+            .filter(numeric_delta_gate(F.col("nl_a"), F.col("nl_b"), cfg.line_delta_max))
             .select("id_a", "id_b")
         )
     if sigs is not None:

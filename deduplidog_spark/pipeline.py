@@ -115,7 +115,9 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
         # the precision gate, so the signature-agreement estimate adds
         # nothing the bands + exact verify don't already give
         slim = _ckpt(
-            sigs.select("fid", "sha", "size", "band_hashes"), cfg, "minhash_bands"
+            sigs.select("fid", "sha", "size", "n_lines", "band_hashes"),
+            cfg,
+            "minhash_bands",
         )
         winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
         reps = slim.join(winners, "fid", "left_semi")
@@ -125,7 +127,7 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
     elif cfg.mode == "simhash":
         sigs = sh.with_simhash_chunks(sh.with_simhash(files, cfg), cfg)
         slim = _ckpt(
-            sigs.select("fid", "sha", "size", "band_hashes", "simhash"),
+            sigs.select("fid", "sha", "size", "n_lines", "band_hashes", "simhash"),
             cfg,
             "simhash_bands",
         )
@@ -149,7 +151,9 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
     elif cfg.mode == "substring":
         fps = ss.with_fingerprints(files, cfg)
         slim = _ckpt(
-            fps.select("fid", "sha", "size", "band_hashes"), cfg, "winnow_bands"
+            fps.select("fid", "sha", "size", "n_lines", "band_hashes"),
+            cfg,
+            "winnow_bands",
         )
         winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
         reps = slim.join(winners, "fid", "left_semi")

@@ -181,3 +181,39 @@ def test_entry_contract(spark):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_numeric_delta_gate_prunes_in_verify_chain(spark):
+    """V5 proper: with line_delta_max set, a candidate pair whose line
+    counts differ by more than the delta is gated out before content
+    verify; without the knob it verifies normally."""
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark import DedupConfig
+    from deduplidog_spark.ingest import ingest
+    from deduplidog_spark.operators.verify import verify_candidate_pairs
+
+    body = "\n".join(f"line {i} common payload text" for i in range(20))
+    rows = [
+        ("r", "a.py", "c0", "py", body, None, False),
+        # near-identical content, but 30 extra lines appended
+        ("r", "b.py", "c0", "py", body + "\n" + "\n".join("x" for _ in range(30)),
+         None, False),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, mtime timestamp, is_symlink boolean",
+    )
+    base = DedupConfig(
+        mode="minhash", jaccard_threshold=0.3, sig_est_threshold=0.0,
+        size_ratio_prefilter=0.0,
+    )
+    files = ingest(df, base).withColumn("fid", F.concat_ws("/", "repo", "path"))
+    pairs = spark.createDataFrame([("r/a.py", "r/b.py")], "id_a string, id_b string")
+    open_gate = verify_candidate_pairs(pairs, files, base)
+    assert open_gate.count() == 1
+    gated = verify_candidate_pairs(pairs, files, base.with_(line_delta_max=5))
+    assert gated.count() == 0
+    wide = verify_candidate_pairs(pairs, files, base.with_(line_delta_max=40))
+    assert wide.count() == 1
