@@ -31,37 +31,59 @@ def lsh_candidate_pairs(
     """band rows (fid, band_id, band_hash) → distinct pairs
     (id_a < id_b). Returns (pairs, dropped_buckets_report).
 
-    Bucket sizes come from a window count over the same shuffle the
-    join needs anyway (one pass — a separate groupBy + broadcast
-    anti-join would add two more jobs and a second scan of the band
-    table); the band table is materialized once and reused for both
-    join sides. ``materialize`` is the caller's checkpoint hook (the
-    pipeline passes its parquet ``_ckpt`` so on a cluster the band
-    table survives executor loss and resumes across runs, instead of
-    pinning N×bands rows in executor storage via localCheckpoint).
-    """
-    from pyspark.sql import Window
+    Grouped pair generation, not a self-join: the band table crosses
+    the network ONCE (the collect_list groupBy); in-bucket pairs are
+    then expanded by a JVM transform/slice expression inside the
+    aggregated partition. The earlier window-count + self-join design
+    shuffled the band table three times (window counts don't partial-
+    aggregate map-side, and both self-join sides re-exchange after the
+    checkpoint truncates partitioning info). The count pre-pass that
+    replaces the window DOES combine map-side — its shuffle carries
+    ~one row per distinct (band_id, band_hash) per partition — and
+    hot buckets above ``max_bucket_size`` (rare by construction:
+    byte-identical content is sha-collapsed before banding) are
+    removed by a broadcast anti-join BEFORE any bucket list
+    materializes, so per-group state is bounded at cap × fid bytes.
 
+    ``materialize`` is the caller's checkpoint hook (the pipeline
+    passes its parquet ``_ckpt`` so the bucket table survives executor
+    loss and resumes across runs, instead of pinning rows in executor
+    storage via localCheckpoint)."""
     if materialize is None:
         materialize = lambda d: d.localCheckpoint()  # noqa: E731
-    w = Window.partitionBy("band_id", "band_hash")
-    sized = materialize(band_rows.withColumn("bucket_size", F.count("*").over(w)))
-    dropped_report = (
-        sized.filter(F.col("bucket_size") > cfg.max_bucket_size)
-        .select("band_id", "band_hash", "bucket_size")
-        .dropDuplicates(["band_id", "band_hash"])
-    )  # logged, per standard LSH practice — SURVEY §4.3
-    pruned = sized.filter(F.col("bucket_size") <= cfg.max_bucket_size)
-    a = pruned.select(
-        F.col("band_id"), F.col("band_hash"), F.col("fid").alias("id_a")
+    counts = band_rows.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size")
     )
-    b = pruned.select(
-        F.col("band_id"), F.col("band_hash"), F.col("fid").alias("id_b")
+    dropped_report = counts.filter(
+        F.col("bucket_size") > cfg.max_bucket_size
+    )  # logged, per standard LSH practice — SURVEY §4.3
+    pruned = band_rows.join(
+        F.broadcast(dropped_report.select("band_id", "band_hash")),
+        ["band_id", "band_hash"],
+        "left_anti",
+    )
+    buckets = materialize(
+        pruned.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("fid").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # element i pairs with every j > i: transform over indices, slice
+    # for the tail, flatten + explode — stays in whole-stage codegen
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs, dropped_report

@@ -106,7 +106,7 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
     contents = files.select("fid", "content")
 
     def _mat(d):  # band-table checkpoint hook → parquet when resumable
-        return _ckpt(d, cfg, "band_sized")
+        return _ckpt(d, cfg, "lsh_buckets")
 
     if cfg.mode == "minhash":
         sigs = mh.with_band_hashes(mh.with_signatures(files, cfg), cfg)

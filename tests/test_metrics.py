@@ -21,7 +21,7 @@ def test_lineage_recorded_per_stage(spark):
     assert os.path.exists(f"{run_dir}/_lineage")
     rep = lineage_report(spark, run_dir)
     rows = {r.stage: r for r in rep.collect()}
-    assert "files" in rows and "minhash_bands" in rows and "band_sized" in rows
+    assert "files" in rows and "minhash_bands" in rows and "lsh_buckets" in rows
     assert all(r.total_rows > 0 for r in rows.values())
     assert all(r.skew_ratio >= 1.0 for r in rows.values())
 
@@ -46,7 +46,7 @@ def test_checkpoint_resume_from_band_stage(spark):
     for stage in ("edges", "cc_labels", "plan"):
         assert os.path.exists(f"{run_dir}/{stage}/_SUCCESS")
         shutil.rmtree(f"{run_dir}/{stage}")
-    assert os.path.exists(f"{run_dir}/band_sized/_SUCCESS")  # survives the "crash"
+    assert os.path.exists(f"{run_dir}/lsh_buckets/_SUCCESS")  # survives the "crash"
     plan2 = sorted(
         (r.fid, r.action_effective) for r in dedupe(df, cfg).plan.collect()
     )
