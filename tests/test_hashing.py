@@ -73,3 +73,57 @@ def test_winnowing_shared_substring_guarantee():
     c = "no overlap at all here " * 30
     fc = set(H.winnow_fingerprints(c, k, w).tolist())
     assert not (fa & fc)
+
+
+# ---- property-based checks (hypothesis) ----------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texty = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(prefix=_texty, suffix_a=_texty, suffix_b=_texty, data=st.data())
+def test_winnowing_guarantee_property(prefix, suffix_a, suffix_b, data):
+    """Property form of the Schleimer guarantee at the exact boundary:
+    ANY shared substring of length == window + k - 1 yields a shared
+    fingerprint, whatever surrounds it."""
+    k, w = 5, 4
+    block = data.draw(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=w + k - 1,
+            max_size=w + k - 1,
+        )
+    )
+    a = prefix + block + suffix_a
+    b = suffix_b + block + prefix
+    fa = set(H.winnow_fingerprints(a, k, w).tolist())
+    fb = set(H.winnow_fingerprints(b, k, w).tolist())
+    assert fa & fb
+
+
+def _lcs_brute(a: str, b: str) -> int:
+    ba, bb = a.encode(), b.encode()
+    best = 0
+    for i in range(len(ba)):
+        for j in range(len(bb)):
+            n = 0
+            while i + n < len(ba) and j + n < len(bb) and ba[i + n] == bb[j + n]:
+                n += 1
+            best = max(best, n)
+    return best
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    a=st.text(alphabet="abcd", min_size=0, max_size=40),
+    b=st.text(alphabet="abcd", min_size=0, max_size=40),
+)
+def test_lcs_binary_search_matches_bruteforce(a, b):
+    """The rolling-hash binary-search LCS equals the O(n*m) definition
+    on adversarially small alphabets (maximum collision pressure)."""
+    assert H.longest_common_substring_len(a, b) == _lcs_brute(a, b)
