@@ -52,18 +52,31 @@ def _ensure_pkg(spark: SparkSession) -> None:
     key = id(sc)
     if key in _PKG_SHIPPED:
         return
-    zip_path = os.path.join(tempfile.gettempdir(), "deduplidog_spark_pkg.zip")
-    if not os.path.exists(zip_path):
-        import zipfile
+    import hashlib
+    import zipfile
 
+    pkg = os.path.join(_REPO_DIR, "deduplidog_spark")
+    members = []
+    digest = hashlib.sha1()
+    for root, _dirs, fnames in os.walk(pkg):
+        if "__pycache__" in root:
+            continue
+        for fn in sorted(fnames):
+            full = os.path.join(root, fn)
+            members.append(full)
+            with open(full, "rb") as fh:
+                digest.update(fh.read())
+    # content-addressed name: a zip left behind by an earlier session
+    # must never ship stale kernels to the workers (UDF closures pickle
+    # module references — workers import THE ZIP's copy, not the
+    # driver's sys.path one)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"deduplidog_spark_pkg_{digest.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:
-            pkg = os.path.join(_REPO_DIR, "deduplidog_spark")
-            for root, _dirs, fnames in os.walk(pkg):
-                if "__pycache__" in root:
-                    continue
-                for fn in fnames:
-                    full = os.path.join(root, fn)
-                    zf.write(full, os.path.relpath(full, _REPO_DIR))
+            for full in members:
+                zf.write(full, os.path.relpath(full, _REPO_DIR))
     try:
         sc.addPyFile(zip_path)
     except Exception:
