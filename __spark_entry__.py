@@ -731,6 +731,39 @@ def q_minhash_vs_truth(spark, sf_dir):
     )
 
 
+def q_dedup_minhash(spark, sf_dir):
+    """FLAGSHIP end-to-end with a DuckDB oracle: the full minhash
+    pipeline — ingest → sha collapse → OPH signatures → LSH banding →
+    grouped candidate pairs → staged verify (size gate → sig estimate →
+    exact Jaccard) → connected components → keeper election → warning
+    gates → plan — value-checked row-for-row.
+
+    Same determinism argument as q_minhash_vs_truth (the 5-gram
+    similarity gap around τ=0.6 + seeded hashing make LSH recall an
+    exact, fixed fact of this corpus), extended through clustering:
+    the oracle recomputes components with a recursive closure over the
+    SQL-expressible edge set (sha-equal stars ∪ exhaustive J ≥ 0.6
+    pairs), elects the same min-fid keeper, and replays the
+    size-warning gate (all 25 near pairs have unequal sizes, so
+    'skipped' rows genuinely appear on both sides)."""
+    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    cfg = DedupConfig(
+        mode="minhash", shingle_k=5, jaccard_threshold=0.6,
+        sig_est_threshold=0.45, max_bucket_size=1_000_000,
+    )
+    plan = dedupe(docs, cfg).plan
+    return plan.select(
+        "fid",
+        "component",
+        "is_keeper",
+        "duplicate_of",
+        "action",
+        "size_warning",
+        "date_warning",
+        "action_effective",
+    )
+
+
 def q_numeric_delta_gate(spark, sf_dir):
     """V5 proper (accepted_frame_delta analog): absolute-delta gate on
     a cheap numeric feature before expensive verify — here token count
@@ -978,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_vs_truth": q_simhash_vs_truth,
         "embedding_near_pairs": q_embedding_near_pairs,
         "numeric_delta_gate": q_numeric_delta_gate,
+        "dedup_minhash": q_dedup_minhash,
         "symlink_janitor": q_symlink_janitor,
         "symlink_dirs": q_symlink_dirs,
         "substring_verified": q_substring_verified,
@@ -1143,6 +1177,60 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams a JOIN grams b ON b.doc_id > a.doc_id)
             SELECT doc_id_a, doc_id_b, jaccard5 FROM j
             WHERE jaccard5 >= 0.6
+        """,
+        "dedup_minhash": """
+            WITH RECURSIVE f AS (
+                SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) AS fid,
+                       text, octet_length(encode(text)) AS size
+                FROM documents WHERE octet_length(encode(text)) > 0),
+            grams AS (
+                SELECT fid,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(text)-4, 1)+1),
+                           i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+                FROM f),
+            sha_g AS (
+                SELECT fid,
+                       min(fid) OVER (PARTITION BY sha256(text)) AS root,
+                       count(*) OVER (PARTITION BY sha256(text)) AS n
+                FROM f),
+            exact_e AS (
+                SELECT root AS id_a, fid AS id_b
+                FROM sha_g WHERE n > 1 AND fid != root),
+            near_e AS (
+                SELECT a.fid AS id_a, b.fid AS id_b
+                FROM grams a JOIN grams b ON b.fid > a.fid
+                WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                            / (len(a.g) + len(b.g)
+                               - len(list_intersect(a.g, b.g))), 6) >= 0.6),
+            edges AS (SELECT * FROM exact_e UNION SELECT * FROM near_e),
+            und AS (SELECT id_a AS src, id_b AS dst FROM edges
+                    UNION SELECT id_b, id_a FROM edges),
+            reach(node, comp) AS (
+                SELECT DISTINCT src, src FROM und
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node),
+            labels AS (SELECT node AS fid, min(comp) AS component
+                       FROM reach GROUP BY node),
+            sized AS (SELECT l.fid, l.component, f.size
+                      FROM labels l JOIN f ON f.fid = l.fid),
+            ks AS (SELECT component,
+                          max(CASE WHEN fid = component THEN size END)
+                              AS keeper_size
+                   FROM sized GROUP BY component)
+            SELECT s.fid, s.component,
+                   s.fid = s.component AS is_keeper,
+                   CASE WHEN s.fid = s.component THEN NULL
+                        ELSE s.component END AS duplicate_of,
+                   CASE WHEN s.fid = s.component THEN 'keep'
+                        ELSE 'mark' END AS action,
+                   (s.fid != s.component AND s.size > k.keeper_size)
+                       AS size_warning,
+                   FALSE AS date_warning,
+                   CASE WHEN s.fid = s.component THEN 'keep'
+                        WHEN s.size > k.keeper_size THEN 'skipped'
+                        ELSE 'mark' END AS action_effective
+            FROM sized s JOIN ks k USING (component)
         """,
         "numeric_delta_gate": """
             WITH toks AS (
