@@ -764,6 +764,51 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+_PLAN_COLS = [
+    "fid",
+    "component",
+    "is_keeper",
+    "duplicate_of",
+    "action",
+    "size_warning",
+    "date_warning",
+    "action_effective",
+]
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """End-to-end simhash-mode pipeline against the SAME cluster oracle
+    as dedup_minhash: on this corpus the Hamming-≤5 + exact-Jaccard
+    verify admits exactly the J ≥ 0.6 pair set (q_simhash_vs_truth
+    argument), so the full plan — components, keepers, warnings —
+    must coincide with the minhash mode's and with the SQL closure."""
+    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    cfg = DedupConfig(
+        mode="simhash", shingle_k=5, simhash_max_hamming=5,
+        jaccard_threshold=0.6, max_bucket_size=1_000_000,
+    )
+    return dedupe(docs, cfg).plan.select(*_PLAN_COLS)
+
+
+def q_dedup_substring(spark, sf_dir):
+    """End-to-end substring-mode pipeline on the fixed id subset: the
+    winnowing guarantee + exact-LCS verify (≥ window+k−1 = 23) make
+    the verified edge set equal the all-pairs LCS ≥ 23 table, so the
+    emitted plan must match a recursive closure + keeper election over
+    the diagonal-LCS oracle. Substring mode skips the size-ratio gate
+    by design (a shared block inside files of very different sizes is
+    a match), so no size replay is needed — but the size-warning gate
+    still fires for bigger non-keepers and IS replayed."""
+    docs = _docs_as_files(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id").isin(list(_SUBSTR_IDS)))
+    )
+    cfg = DedupConfig(
+        mode="substring", fingerprint_k=16, fingerprint_window=8,
+        max_bucket_size=1_000_000,
+    )
+    return dedupe(docs, cfg).plan.select(*_PLAN_COLS)
+
+
 def q_numeric_delta_gate(spark, sf_dir):
     """V5 proper (accepted_frame_delta analog): absolute-delta gate on
     a cheap numeric feature before expensive verify — here token count
@@ -1012,10 +1057,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "numeric_delta_gate": q_numeric_delta_gate,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_substring": q_dedup_substring,
         "symlink_janitor": q_symlink_janitor,
         "symlink_dirs": q_symlink_dirs,
         "substring_verified": q_substring_verified,
     }
+
+
+# shared end-to-end cluster oracle: recursive closure over sha-equal
+# stars + exhaustive 5-gram J>=0.6 pairs, min-fid keeper election,
+# replayed size-warning gate. Both dedup_minhash and dedup_simhash
+# must converge to exactly this plan (their verify stages admit the
+# same pair set on this corpus).
+_CLUSTER_ORACLE_SQL = """
+            WITH RECURSIVE f AS (
+                SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) AS fid,
+                       text, octet_length(encode(text)) AS size
+                FROM documents WHERE octet_length(encode(text)) > 0),
+            grams AS (
+                SELECT fid,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(text)-4, 1)+1),
+                           i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+                FROM f),
+            sha_g AS (
+                SELECT fid,
+                       min(fid) OVER (PARTITION BY sha256(text)) AS root,
+                       count(*) OVER (PARTITION BY sha256(text)) AS n
+                FROM f),
+            exact_e AS (
+                SELECT root AS id_a, fid AS id_b
+                FROM sha_g WHERE n > 1 AND fid != root),
+            near_e AS (
+                SELECT a.fid AS id_a, b.fid AS id_b
+                FROM grams a JOIN grams b ON b.fid > a.fid
+                WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                            / (len(a.g) + len(b.g)
+                               - len(list_intersect(a.g, b.g))), 6) >= 0.6),
+            edges AS (SELECT * FROM exact_e UNION SELECT * FROM near_e),
+            und AS (SELECT id_a AS src, id_b AS dst FROM edges
+                    UNION SELECT id_b, id_a FROM edges),
+            reach(node, comp) AS (
+                SELECT DISTINCT src, src FROM und
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node),
+            labels AS (SELECT node AS fid, min(comp) AS component
+                       FROM reach GROUP BY node),
+            sized AS (SELECT l.fid, l.component, f.size
+                      FROM labels l JOIN f ON f.fid = l.fid),
+            ks AS (SELECT component,
+                          max(CASE WHEN fid = component THEN size END)
+                              AS keeper_size
+                   FROM sized GROUP BY component)
+            SELECT s.fid, s.component,
+                   s.fid = s.component AS is_keeper,
+                   CASE WHEN s.fid = s.component THEN NULL
+                        ELSE s.component END AS duplicate_of,
+                   CASE WHEN s.fid = s.component THEN 'keep'
+                        ELSE 'mark' END AS action,
+                   (s.fid != s.component AND s.size > k.keeper_size)
+                       AS size_warning,
+                   FALSE AS date_warning,
+                   CASE WHEN s.fid = s.component THEN 'keep'
+                        WHEN s.size > k.keeper_size THEN 'skipped'
+                        ELSE 'mark' END AS action_effective
+            FROM sized s JOIN ks k USING (component)
+        """
+
+
+_SUBSTRING_CLUSTER_ORACLE_SQL = """
+    WITH RECURSIVE f AS (
+        SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) AS fid,
+               text, octet_length(encode(text)) AS size
+        FROM documents
+        WHERE doc_id IN (0,1,2,8,45,58,61,70,98,166,185,245,267,
+                         290,293,301,323,413,447)
+          AND octet_length(encode(text)) > 0),
+    pairs AS (
+        SELECT a.fid AS ia, b.fid AS ib, a.text AS ta, b.text AS tb
+        FROM f a JOIN f b ON b.fid > a.fid),
+    pos AS (
+        SELECT ia, ib, r1.i, r2.j
+        FROM pairs,
+             LATERAL (SELECT unnest(range(1, len(ta)+1)) AS i) r1,
+             LATERAL (SELECT unnest(range(1, len(tb)+1)) AS j) r2
+        WHERE substr(ta, CAST(r1.i AS INTEGER), 1)
+              = substr(tb, CAST(r2.j AS INTEGER), 1)),
+    runs AS (
+        SELECT ia, ib, i - j AS d, i,
+               i - row_number() OVER (PARTITION BY ia, ib, i - j ORDER BY i)
+                   AS island
+        FROM pos),
+    lens AS (SELECT ia, ib, count(*) AS run_len
+             FROM runs GROUP BY ia, ib, d, island),
+    edges AS (SELECT ia AS id_a, ib AS id_b
+              FROM lens GROUP BY ia, ib HAVING max(run_len) >= 23),
+    und AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(node, comp) AS (
+        SELECT DISTINCT src, src FROM und
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node),
+    labels AS (SELECT node AS fid, min(comp) AS component
+               FROM reach GROUP BY node),
+    sized AS (SELECT l.fid, l.component, f.size
+              FROM labels l JOIN f ON f.fid = l.fid),
+    ks AS (SELECT component,
+                  max(CASE WHEN fid = component THEN size END) AS keeper_size
+           FROM sized GROUP BY component)
+    SELECT s.fid, s.component,
+           s.fid = s.component AS is_keeper,
+           CASE WHEN s.fid = s.component THEN NULL
+                ELSE s.component END AS duplicate_of,
+           CASE WHEN s.fid = s.component THEN 'keep' ELSE 'mark' END AS action,
+           (s.fid != s.component AND s.size > k.keeper_size) AS size_warning,
+           FALSE AS date_warning,
+           CASE WHEN s.fid = s.component THEN 'keep'
+                WHEN s.size > k.keeper_size THEN 'skipped'
+                ELSE 'mark' END AS action_effective
+    FROM sized s JOIN ks k USING (component)
+"""
 
 
 def _ann_oracle_sql() -> str:
@@ -1178,60 +1340,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id_a, doc_id_b, jaccard5 FROM j
             WHERE jaccard5 >= 0.6
         """,
-        "dedup_minhash": """
-            WITH RECURSIVE f AS (
-                SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) AS fid,
-                       text, octet_length(encode(text)) AS size
-                FROM documents WHERE octet_length(encode(text)) > 0),
-            grams AS (
-                SELECT fid,
-                       list_distinct(list_transform(
-                           range(1, greatest(len(text)-4, 1)+1),
-                           i -> substr(text, CAST(i AS INTEGER), 5))) AS g
-                FROM f),
-            sha_g AS (
-                SELECT fid,
-                       min(fid) OVER (PARTITION BY sha256(text)) AS root,
-                       count(*) OVER (PARTITION BY sha256(text)) AS n
-                FROM f),
-            exact_e AS (
-                SELECT root AS id_a, fid AS id_b
-                FROM sha_g WHERE n > 1 AND fid != root),
-            near_e AS (
-                SELECT a.fid AS id_a, b.fid AS id_b
-                FROM grams a JOIN grams b ON b.fid > a.fid
-                WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                            / (len(a.g) + len(b.g)
-                               - len(list_intersect(a.g, b.g))), 6) >= 0.6),
-            edges AS (SELECT * FROM exact_e UNION SELECT * FROM near_e),
-            und AS (SELECT id_a AS src, id_b AS dst FROM edges
-                    UNION SELECT id_b, id_a FROM edges),
-            reach(node, comp) AS (
-                SELECT DISTINCT src, src FROM und
-                UNION
-                SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node),
-            labels AS (SELECT node AS fid, min(comp) AS component
-                       FROM reach GROUP BY node),
-            sized AS (SELECT l.fid, l.component, f.size
-                      FROM labels l JOIN f ON f.fid = l.fid),
-            ks AS (SELECT component,
-                          max(CASE WHEN fid = component THEN size END)
-                              AS keeper_size
-                   FROM sized GROUP BY component)
-            SELECT s.fid, s.component,
-                   s.fid = s.component AS is_keeper,
-                   CASE WHEN s.fid = s.component THEN NULL
-                        ELSE s.component END AS duplicate_of,
-                   CASE WHEN s.fid = s.component THEN 'keep'
-                        ELSE 'mark' END AS action,
-                   (s.fid != s.component AND s.size > k.keeper_size)
-                       AS size_warning,
-                   FALSE AS date_warning,
-                   CASE WHEN s.fid = s.component THEN 'keep'
-                        WHEN s.size > k.keeper_size THEN 'skipped'
-                        ELSE 'mark' END AS action_effective
-            FROM sized s JOIN ks k USING (component)
-        """,
+        "dedup_minhash": _CLUSTER_ORACLE_SQL,
+        "dedup_simhash": _CLUSTER_ORACLE_SQL,
+        "dedup_substring": _SUBSTRING_CLUSTER_ORACLE_SQL,
         "numeric_delta_gate": """
             WITH toks AS (
                 SELECT doc_id,
