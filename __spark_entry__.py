@@ -628,6 +628,27 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_phash(spark, sf_dir):
+    """Perceptual hash through the REAL multimodal path (mapInPandas →
+    decode → 8×8 average-hash), value-checked: with the deterministic
+    stub decode, phash is a pure function of the first 64 payload
+    bytes cycled over the payload (bit i = byte_i > mean(first 64)),
+    which DuckDB recomputes exactly — byte codes are integers, the
+    /64 mean is dyadic so float32 and DOUBLE agree bit-for-bit. A real
+    codec (PIL seam) swaps in without touching the Spark plumbing this
+    query checks."""
+    from deduplidog_spark.operators.multimodal import extract_media_features
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_media_features(media).select("media_id", "phash")
+
+
 def q_media_near_pairs(spark, sf_dir):
     """Perceptual-hash near-dup pairs over media features (rows-only)."""
     from deduplidog_spark.operators.multimodal import (
@@ -1042,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "common_prefix": q_common_prefix,
         "media_features": q_media_features,
+        "media_phash": q_media_phash,
         "media_near_pairs": q_media_near_pairs,
         "lcs_verify": q_lcs_verify,
         "minhash_pairs": q_minhash_pairs,
@@ -1318,6 +1340,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    octet_length(encode(text)) = 0 AS quarantined
             FROM documents
+        """,
+        # stub-decode aHash replay: bit i = byte[(i mod n)] > mean of the
+        # 64 cycled bytes; assembled in two 32-bit halves (exact BIGINT
+        # powers), wrapped to signed 64-bit via HUGEINT
+        "media_phash": """
+            WITH m AS (
+                -- the stub decode truncates the payload to side*side
+                -- bytes (side = floor(sqrt(n))) BEFORE the 8x8 hash
+                -- cycles over them, so the cycle period is side^2
+                SELECT doc_id AS media_id, text,
+                       greatest(CAST(floor(sqrt(len(text)))
+                                     * floor(sqrt(len(text))) AS BIGINT),
+                                1) AS p
+                FROM documents WHERE len(text) > 0),
+            codes AS (
+                SELECT media_id,
+                       list_transform(range(0, 64),
+                           i -> ascii(substr(text,
+                                CAST((i % p) + 1 AS INTEGER), 1))) AS c
+                FROM m),
+            stats AS (
+                SELECT media_id, c, list_sum(c) / 64.0 AS mu FROM codes),
+            halves AS (
+                SELECT media_id,
+                       list_sum(list_transform(range(0, 32),
+                           i -> CASE WHEN c[CAST(i + 1 AS INTEGER)] > mu
+                                     THEN CAST(1 AS BIGINT) << i ELSE 0 END))
+                           AS lo,
+                       list_sum(list_transform(range(0, 32),
+                           i -> CASE WHEN c[CAST(i + 33 AS INTEGER)] > mu
+                                     THEN CAST(1 AS BIGINT) << i ELSE 0 END))
+                           AS hi
+                FROM stats),
+            raw AS (
+                SELECT media_id,
+                       CAST(hi AS HUGEINT) * 4294967296 + CAST(lo AS HUGEINT)
+                           AS u
+                FROM halves)
+            SELECT media_id,
+                   CAST(u - CASE
+                            WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                            THEN CAST('18446744073709551616' AS HUGEINT)
+                            ELSE 0 END AS BIGINT) AS phash
+            FROM raw
         """,
         "ann_lsh": _ann_oracle_sql(),
         # exhaustive O(n²) truth for the MinHash-LSH pipeline: all
