@@ -785,6 +785,53 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_name(spark, sf_dir):
+    """END-TO-END oracle for the reference's DEFAULT mode (name/date):
+    originals = every doc as orig/f<id>.py (mtime staggered by a
+    minute per id); work = every 3rd doc as work/f<id>(1).py with the
+    same content and a per-id mtime shift (+1 h in-band, −2 h in-band
+    but triggering the DATE WARNING since the original is ≥1 s newer,
+    +4 h out of the ±3 h tolerate_hour band → no match). The plan —
+    K3 counter stripping, J1/J2/J3 blocking, V1 size equality, V2 date
+    band, J9 first match, X6 warning gate, role-aware keep rows — must
+    hash-match a DuckDB replay of the same predicates."""
+    docs = _t(spark, sf_dir, "documents")
+    base = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    did = F.col("doc_id").cast("int")
+    orig = docs.select(
+        F.lit("orig").alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string"), F.lit(".py")).alias(
+            "path"
+        ),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.timestamp_add("MINUTE", did, base).alias("mtime"),
+        F.lit(False).alias("is_symlink"),
+    )
+    shift_min = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit(-120))
+        .when(F.col("doc_id") % 6 == 0, F.lit(240))
+        .otherwise(F.lit(60))
+    )
+    work = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.lit("work").alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string"), F.lit("(1).py")).alias(
+            "path"
+        ),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.timestamp_add("MINUTE", did + shift_min.cast("int"), base).alias("mtime"),
+        F.lit(False).alias("is_symlink"),
+    )
+    cfg = DedupConfig(
+        mode="name", work_repo="work", original_repo="orig",
+        strip_end_counter=True, tolerate_hour=3,
+    )
+    return dedupe(orig.unionByName(work), cfg).plan
+
+
 _PLAN_COLS = [
     "fid",
     "component",
@@ -1079,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "numeric_delta_gate": q_numeric_delta_gate,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_name": q_dedup_name,
         "dedup_simhash": q_dedup_simhash,
         "dedup_substring": q_dedup_substring,
         "symlink_janitor": q_symlink_janitor,
@@ -1405,6 +1453,65 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams a JOIN grams b ON b.doc_id > a.doc_id)
             SELECT doc_id_a, doc_id_b, jaccard5 FROM j
             WHERE jaccard5 >= 0.6
+        """,
+        "dedup_name": """
+            WITH o AS (
+                SELECT 'orig/f' || CAST(doc_id AS VARCHAR) || '.py' AS fid,
+                       'orig' AS repo,
+                       'f' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+                       'f' || CAST(doc_id AS VARCHAR) AS norm_key,
+                       lang, octet_length(encode(text)) AS size,
+                       TIMESTAMP '2026-01-01 00:00:00'
+                           + doc_id * INTERVAL '1 minute' AS mtime
+                FROM documents),
+            w AS (
+                SELECT 'work/f' || CAST(doc_id AS VARCHAR) || '(1).py' AS fid,
+                       'work' AS repo,
+                       'f' || CAST(doc_id AS VARCHAR) || '(1).py' AS path,
+                       regexp_replace('f' || CAST(doc_id AS VARCHAR) || '(1)',
+                                      '\(\d+\)$', '') AS norm_key,
+                       lang, octet_length(encode(text)) AS size,
+                       TIMESTAMP '2026-01-01 00:00:00'
+                           + doc_id * INTERVAL '1 minute'
+                           + CASE WHEN doc_id % 9 = 0 THEN -120
+                                  WHEN doc_id % 6 = 0 THEN 240
+                                  ELSE 60 END * INTERVAL '1 minute' AS mtime
+                FROM documents WHERE doc_id % 3 = 0),
+            matched AS (
+                SELECT w.fid AS w_fid, w.repo AS w_repo, w.path AS w_path,
+                       w.mtime AS w_mtime,
+                       o.fid AS o_fid, o.repo AS o_repo, o.path AS o_path,
+                       o.mtime AS o_mtime,
+                       w.size AS w_size, o.size AS o_size
+                FROM w JOIN o
+                  ON w.norm_key = o.norm_key AND w.lang = o.lang
+                 AND w.size = o.size
+                 AND (w.mtime = o.mtime
+                      OR ((epoch(w.mtime) - epoch(o.mtime)) / 3600.0
+                          BETWEEN -3 AND 3))),
+            affected AS (
+                SELECT w_fid AS fid, w_repo AS repo, w_path AS path,
+                       o_fid AS component, FALSE AS is_keeper,
+                       o_fid AS duplicate_of,
+                       'mark' AS action,
+                       w_size > o_size AS size_warning,
+                       (epoch(o_mtime) - epoch(w_mtime)) >= 1.0
+                           AS date_warning,
+                       CASE WHEN w_size > o_size
+                              OR (epoch(o_mtime) - epoch(w_mtime)) >= 1.0
+                            THEN 'skipped' ELSE 'mark' END
+                           AS action_effective,
+                       w_mtime AS new_mtime
+                FROM matched),
+            keepers AS (
+                SELECT o_fid AS fid, o_repo AS repo, o_path AS path,
+                       o_fid AS component, TRUE AS is_keeper,
+                       CAST(NULL AS VARCHAR) AS duplicate_of,
+                       'keep' AS action, FALSE AS size_warning,
+                       FALSE AS date_warning, 'keep' AS action_effective,
+                       min(o_mtime) AS new_mtime
+                FROM matched GROUP BY o_fid, o_repo, o_path)
+            SELECT * FROM affected UNION ALL SELECT * FROM keepers
         """,
         "dedup_minhash": _CLUSTER_ORACLE_SQL,
         "dedup_simhash": _CLUSTER_ORACLE_SQL,
