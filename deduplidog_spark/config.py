@@ -72,6 +72,15 @@ class DedupConfig:
 
     # --- scale / checkpointing (north_rule)
     checkpoint_dir: str | None = None
+    # Catalog-table checkpointing (north_rule: "checkpoints LSH band
+    # tables and cluster state to Iceberg"): when set, stages persist as
+    # catalog tables `<prefix>_<stage>_<fingerprint>` via saveAsTable
+    # with `checkpoint_format` as the provider — "iceberg" on clusters
+    # with the Iceberg runtime + catalog configured (atomic replace,
+    # snapshot history), "parquet" against the builtin session catalog
+    # (used by tests; resume then lives only as long as the metastore).
+    checkpoint_table_prefix: str | None = None  # e.g. "lake.db.dedup"
+    checkpoint_format: str = "parquet"
     # NOTE deliberately no salt knob here: the pipeline's own groupBys
     # key on sha/fid (uniform by construction) and LSH skew is handled
     # by sha-collapse + max_bucket_size + AQE; `candidates.salt_column`
@@ -102,6 +111,11 @@ class DedupConfig:
             pass  # fine: sizes present
         if self.num_perm % self.lsh_bands != 0:
             raise ValueError("num_perm must be divisible by lsh_bands")
+        if self.checkpoint_dir and self.checkpoint_table_prefix:
+            raise ValueError(
+                "set checkpoint_dir (path stages) or "
+                "checkpoint_table_prefix (catalog tables), not both"
+            )
 
     @property
     def hour_band(self) -> tuple[float, float] | None:
@@ -143,5 +157,7 @@ class DedupConfig:
 
         d = dataclasses.asdict(self)
         d.pop("checkpoint_dir", None)
+        d.pop("checkpoint_table_prefix", None)
+        d.pop("checkpoint_format", None)
         blob = json.dumps(d, sort_keys=True, default=str).encode()
         return hashlib.sha1(blob).hexdigest()[:12]

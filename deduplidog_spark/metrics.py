@@ -35,10 +35,33 @@ def record_lineage(df: DataFrame, checkpoint_dir: str, stage: str) -> None:
     hist.write.mode("append").parquet(out)
 
 
+def record_lineage_table(
+    df: DataFrame, table_prefix: str, fmt: str, stage: str
+) -> None:
+    """Append the stage's partition histogram to ``<prefix>_lineage``
+    as a catalog table (Iceberg on clusters with the runtime — appends
+    are then atomic snapshots; parquet session-catalog tables under
+    test)."""
+    name = f"{table_prefix}_lineage"
+    hist = partition_histogram(df, stage).withColumn(
+        "recorded_at", F.lit(int(time.time())).cast("timestamp")
+    )
+    hist.write.format(fmt).mode("append").saveAsTable(name)
+
+
 def lineage_report(spark, checkpoint_dir: str) -> DataFrame:
     """Stage-level skew summary from the lineage table: row totals and
     max/avg partition ratio (≫1 ⇒ salt or cap that stage's key)."""
     hist = spark.read.parquet(os.path.join(checkpoint_dir, "_lineage"))
+    return _skew_summary(hist)
+
+
+def lineage_report_table(spark, table_prefix: str) -> DataFrame:
+    """`lineage_report` over the catalog-table lineage sink."""
+    return _skew_summary(spark.table(f"{table_prefix}_lineage"))
+
+
+def _skew_summary(hist: DataFrame) -> DataFrame:
     return (
         hist.groupBy("stage")
         .agg(

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from deduplidog_spark.config import DedupConfig
 from deduplidog_spark.ingest import ingest
-from deduplidog_spark.metrics import record_lineage
+from deduplidog_spark.metrics import record_lineage, record_lineage_table
 from deduplidog_spark.operators import minhash as mh
 from deduplidog_spark.operators import simhash as sh
 from deduplidog_spark.operators import substring as ss
@@ -61,15 +61,31 @@ def _fs_exists(spark, path: str) -> bool:
 
 
 def _ckpt(df: DataFrame, cfg: DedupConfig, stage: str, reuse: bool = True) -> DataFrame:
-    """Stage checkpoint: parquet round-trip when checkpoint_dir is set
-    (resumable, truncates lineage). Stage paths embed the config
-    fingerprint, so a rerun with a different mode/threshold against the
-    same checkpoint_dir recomputes instead of silently reusing stale
-    files/edges/labels. Without a checkpoint_dir, stages consumed by
-    several downstream operators (``reuse=True``) are localCheckpointed
-    so each consumer doesn't re-execute the UDF stage; single-consumer
-    stages stay lazy — every eager materialization is a driver-side
-    barrier that caps scaling."""
+    """Stage checkpoint: parquet round-trip when checkpoint_dir is set,
+    catalog-table round-trip when checkpoint_table_prefix is set
+    (north_rule "checkpoints LSH band tables and cluster state to
+    Iceberg": `checkpoint_format='iceberg'` on a cluster with the
+    Iceberg runtime gives atomic replace + snapshot history; the
+    parquet session-catalog provider exercises the same code path under
+    test). Stage paths/names embed the config fingerprint, so a rerun
+    with a different mode/threshold against the same checkpoint target
+    recomputes instead of silently reusing stale files/edges/labels.
+    Without a checkpoint target, stages consumed by several downstream
+    operators (``reuse=True``) are localCheckpointed so each consumer
+    doesn't re-execute the UDF stage; single-consumer stages stay
+    lazy — every eager materialization is a driver-side barrier that
+    caps scaling."""
+    if cfg.checkpoint_table_prefix:
+        name = f"{cfg.checkpoint_table_prefix}_{stage}_{cfg.fingerprint()}"
+        spark = df.sparkSession
+        if not spark.catalog.tableExists(name):
+            df.write.format(cfg.checkpoint_format).mode("overwrite").saveAsTable(name)
+            out = spark.table(name)
+            record_lineage_table(
+                out, cfg.checkpoint_table_prefix, cfg.checkpoint_format, stage
+            )  # north_rule: per-partition lineage beside the stage tables
+            return out
+        return spark.table(name)
     if cfg.checkpoint_dir:
         run_dir = cfg.checkpoint_dir.rstrip("/") + "/" + cfg.fingerprint()
         path = run_dir + "/" + stage

@@ -1,4 +1,5 @@
 import os
+import tempfile
 
 import pytest
 
@@ -9,7 +10,13 @@ from deduplidog_spark import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("deduplidog-tests", shuffle_partitions=8)
+    s = get_spark(
+        "deduplidog-tests",
+        shuffle_partitions=8,
+        # catalog-table checkpoint tests use saveAsTable; keep the
+        # warehouse out of the repo tree
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="wh_")},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
