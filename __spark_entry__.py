@@ -649,6 +649,29 @@ def q_media_phash(spark, sf_dir):
     return extract_media_features(media).select("media_id", "phash")
 
 
+def q_media_phash_pairs(spark, sf_dir):
+    """Perceptual-hash near-dup pairs through the REAL chunk-join path
+    (near_dup_media_pairs), value-checked: document payloads make
+    phash DuckDB-recomputable (see q_media_phash), and with
+    max_hamming=3 over 4×16-bit chunks the pigeonhole guarantee makes
+    the chunk join exhaustive — its output equals the plain
+    Hamming≤3 threshold join the oracle runs."""
+    from deduplidog_spark.operators.multimodal import (
+        extract_media_features,
+        near_dup_media_pairs,
+    )
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_media_features(media)
+    return near_dup_media_pairs(feats, max_hamming=3)
+
+
 def q_media_near_pairs(spark, sf_dir):
     """Perceptual-hash near-dup pairs over media features (rows-only)."""
     from deduplidog_spark.operators.multimodal import (
@@ -1111,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_prefix": q_common_prefix,
         "media_features": q_media_features,
         "media_phash": q_media_phash,
+        "media_phash_pairs": q_media_phash_pairs,
         "media_near_pairs": q_media_near_pairs,
         "lcs_verify": q_lcs_verify,
         "minhash_pairs": q_minhash_pairs,
@@ -1247,6 +1271,53 @@ _SUBSTRING_CLUSTER_ORACLE_SQL = """
                 WHEN s.size > k.keeper_size THEN 'skipped'
                 ELSE 'mark' END AS action_effective
     FROM sized s JOIN ks k USING (component)
+"""
+
+
+# Shared stub-decode aHash recomputation (see "media_phash" notes in
+# oracle_sql): ends with CTE ph(media_id, phash), consumers append the
+# final SELECT.
+_MEDIA_PHASH_CTE = """
+    WITH m AS (
+        -- the stub decode truncates the payload to side*side
+        -- bytes (side = floor(sqrt(n))) BEFORE the 8x8 hash
+        -- cycles over them, so the cycle period is side^2
+        SELECT doc_id AS media_id, text,
+               greatest(CAST(floor(sqrt(len(text)))
+                             * floor(sqrt(len(text))) AS BIGINT),
+                        1) AS p
+        FROM documents WHERE len(text) > 0),
+    codes AS (
+        SELECT media_id,
+               list_transform(range(0, 64),
+                   i -> ascii(substr(text,
+                        CAST((i % p) + 1 AS INTEGER), 1))) AS c
+        FROM m),
+    stats AS (
+        SELECT media_id, c, list_sum(c) / 64.0 AS mu FROM codes),
+    halves AS (
+        SELECT media_id,
+               list_sum(list_transform(range(0, 32),
+                   i -> CASE WHEN c[CAST(i + 1 AS INTEGER)] > mu
+                             THEN CAST(1 AS BIGINT) << i ELSE 0 END))
+                   AS lo,
+               list_sum(list_transform(range(0, 32),
+                   i -> CASE WHEN c[CAST(i + 33 AS INTEGER)] > mu
+                             THEN CAST(1 AS BIGINT) << i ELSE 0 END))
+                   AS hi
+        FROM stats),
+    raw AS (
+        SELECT media_id,
+               CAST(hi AS HUGEINT) * 4294967296 + CAST(lo AS HUGEINT)
+                   AS u
+        FROM halves),
+    ph AS (
+        SELECT media_id,
+               CAST(u - CASE
+                        WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                        THEN CAST('18446744073709551616' AS HUGEINT)
+                        ELSE 0 END AS BIGINT) AS phash
+        FROM raw)
 """
 
 
@@ -1392,46 +1463,17 @@ def oracle_sql() -> dict[str, str]:
         # stub-decode aHash replay: bit i = byte[(i mod n)] > mean of the
         # 64 cycled bytes; assembled in two 32-bit halves (exact BIGINT
         # powers), wrapped to signed 64-bit via HUGEINT
-        "media_phash": """
-            WITH m AS (
-                -- the stub decode truncates the payload to side*side
-                -- bytes (side = floor(sqrt(n))) BEFORE the 8x8 hash
-                -- cycles over them, so the cycle period is side^2
-                SELECT doc_id AS media_id, text,
-                       greatest(CAST(floor(sqrt(len(text)))
-                                     * floor(sqrt(len(text))) AS BIGINT),
-                                1) AS p
-                FROM documents WHERE len(text) > 0),
-            codes AS (
-                SELECT media_id,
-                       list_transform(range(0, 64),
-                           i -> ascii(substr(text,
-                                CAST((i % p) + 1 AS INTEGER), 1))) AS c
-                FROM m),
-            stats AS (
-                SELECT media_id, c, list_sum(c) / 64.0 AS mu FROM codes),
-            halves AS (
-                SELECT media_id,
-                       list_sum(list_transform(range(0, 32),
-                           i -> CASE WHEN c[CAST(i + 1 AS INTEGER)] > mu
-                                     THEN CAST(1 AS BIGINT) << i ELSE 0 END))
-                           AS lo,
-                       list_sum(list_transform(range(0, 32),
-                           i -> CASE WHEN c[CAST(i + 33 AS INTEGER)] > mu
-                                     THEN CAST(1 AS BIGINT) << i ELSE 0 END))
-                           AS hi
-                FROM stats),
-            raw AS (
-                SELECT media_id,
-                       CAST(hi AS HUGEINT) * 4294967296 + CAST(lo AS HUGEINT)
-                           AS u
-                FROM halves)
-            SELECT media_id,
-                   CAST(u - CASE
-                            WHEN u >= CAST('9223372036854775808' AS HUGEINT)
-                            THEN CAST('18446744073709551616' AS HUGEINT)
-                            ELSE 0 END AS BIGINT) AS phash
-            FROM raw
+        "media_phash": _MEDIA_PHASH_CTE + """
+            SELECT media_id, phash FROM ph
+        """,
+        # same phash CTE; near-pair set = plain Hamming threshold join
+        # (bit_count is two's-complement on both engines). Exhaustive
+        # equality with the engine's chunk join holds because
+        # max_hamming=3 < 4 chunks (pigeonhole: ≥1 16-bit chunk equal)
+        "media_phash_pairs": _MEDIA_PHASH_CTE + """
+            SELECT a.media_id AS id_a, b.media_id AS id_b
+            FROM ph a JOIN ph b ON b.media_id > a.media_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
         "ann_lsh": _ann_oracle_sql(),
         # exhaustive O(n²) truth for the MinHash-LSH pipeline: all
