@@ -154,6 +154,12 @@ def main() -> None:
 
     corpus = spark.read.parquet(corpus_dir)
 
+    # same warm-up as run_once(): executor pool + python workers +
+    # codegen are startup cost, not throughput
+    from pyspark.sql import functions as WF
+
+    spark.range(10000).select(WF.sha2(WF.col("id").cast("string"), 256)).count()
+
     # headline: dedup pipeline throughput
     t0 = time.time()
     n_plan = _dedup_job(spark, corpus)
