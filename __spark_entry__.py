@@ -459,10 +459,12 @@ def q_edit_distance(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH candidate pairs + exact-Jaccard verify on documents
-    (probabilistic banding → rows-only check; q_ngram_jaccard is the
-    SQL-checkable verify analog)."""
-    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    """MinHash-LSH candidate pairs + exact-Jaccard verify on documents,
+    value-checked end-to-end: _minhash_pairs_oracle_sql replays OPH
+    signatures, banding, the bucket cap and all three verify gates in
+    DuckDB HUGEINT arithmetic (band xxhash64 equality == slice-tuple
+    equality up to 2^-64 collisions)."""
+    docs = _docs_as_files(_ascii_docs_min_len(_t(spark, sf_dir, "documents"), 5))
     # bands=32 (r=4, S-curve ≈ 0.42): r=2 banding admits the testdata
     # documents' high background word-vocab similarity quadratically
     cfg = DedupConfig(
@@ -476,21 +478,44 @@ def q_minhash_pairs(spark, sf_dir):
     return verify_candidate_pairs(pairs, sigs, cfg, sigs=sigs.select("fid", "sig"))
 
 
+def _ascii_docs_min_len(docs, k: int):
+    """Domain where the DuckDB u64-hash replica is exact: ASCII text
+    (char count == byte count) long enough for a full k-shingle. At the
+    contract SF every document qualifies; the filter makes the contract
+    well-defined for any input."""
+    bytes_len = F.octet_length(F.encode("text", "utf-8"))
+    return docs.filter((F.length("text") == bytes_len) & (bytes_len >= k))
+
+
 def q_simhash_sigs(spark, sf_dir):
-    """SimHash 64-bit signatures (UDF-computed → rows-only check)."""
-    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    """SimHash 64-bit signatures through the real Arrow-UDF kernel,
+    value-checked: the mod-2^64 rolling hash + avalanche + per-bit
+    majority vote are replayed exactly in DuckDB HUGEINT arithmetic
+    (_simhash_oracle_sql)."""
     cfg = DedupConfig(mode="simhash")
+    docs = _docs_as_files(
+        _ascii_docs_min_len(_t(spark, sf_dir, "documents"), cfg.shingle_k)
+    )
     files = ingest(docs, cfg)
     return sh.with_simhash(files, cfg).select("path", "simhash")
 
 
 def q_winnow_fingerprints(spark, sf_dir):
-    """Winnowing substring fingerprints (rows-only)."""
-    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    """Winnowing substring fingerprints through the real Arrow-UDF
+    kernel, value-checked per doc on fingerprint count + signed
+    min/max (_winnow_oracle_sql replays the u64 kernel in SQL)."""
     cfg = DedupConfig(mode="substring")
+    docs = _docs_as_files(
+        _ascii_docs_min_len(_t(spark, sf_dir, "documents"), cfg.fingerprint_k)
+    )
     files = ingest(docs, cfg)
     fps = ss.with_fingerprints(files, cfg)
-    return fps.select("path", F.size("band_hashes").alias("n_fingerprints"))
+    return fps.select(
+        "path",
+        F.size("band_hashes").alias("n_fingerprints"),
+        F.array_min("band_hashes").alias("fp_min"),
+        F.array_max("band_hashes").alias("fp_max"),
+    )
 
 
 def q_connected_components(spark, sf_dir):
@@ -712,8 +737,10 @@ def q_repo_profiles(spark, sf_dir):
 
 
 def q_substring_pairs(spark, sf_dir):
-    """Winnowing substring candidate pairs on documents (rows-only)."""
-    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    """Winnowing substring candidate pairs on documents, value-checked:
+    _substring_pairs_oracle_sql replays the fingerprint kernel and the
+    capped bucket join in SQL."""
+    docs = _docs_as_files(_ascii_docs_min_len(_t(spark, sf_dir, "documents"), 16))
     cfg = DedupConfig(mode="substring", fingerprint_k=16, fingerprint_window=8)
     files = ingest(docs, cfg).withColumn("fid", F.concat_ws("/", "repo", "path"))
     fps = ss.with_fingerprints(files, cfg)
@@ -723,10 +750,23 @@ def q_substring_pairs(spark, sf_dir):
 
 
 def q_dedup_pipeline(spark, sf_dir):
-    """Flagship end-to-end pipeline at the given sf (rows-only)."""
-    docs = _docs_as_files(_t(spark, sf_dir, "documents"))
+    """Flagship end-to-end pipeline at the PRODUCTION config,
+    value-checked: _dedup_pipeline_oracle_sql replays sha collapse,
+    OPH banding with the bucket cap, the staged verify, connected
+    components and keeper election in pure SQL — no exhaustive-truth
+    detour, the actual LSH candidate topology."""
+    docs = _docs_as_files(_ascii_docs_min_len(_t(spark, sf_dir, "documents"), 5))
     cfg = DedupConfig(mode="minhash", jaccard_threshold=0.5, sig_est_threshold=0.35)
-    return dedupe(docs, cfg).plan
+    return dedupe(docs, cfg).plan.select(
+        "fid",
+        "component",
+        "is_keeper",
+        "duplicate_of",
+        "action",
+        "size_warning",
+        "date_warning",
+        "action_effective",
+    )
 
 
 def q_minhash_vs_truth(spark, sf_dir):
@@ -1274,6 +1314,341 @@ _SUBSTRING_CLUSTER_ORACLE_SQL = """
 """
 
 
+# ---- u64 rolling-hash replication in DuckDB SQL ----------------------
+# The signature kernels (functions/hashing.py) are mod-2^64 polynomial
+# rolling hashes + a murmur-style avalanche. DuckDB's BIGINT is checked
+# (no wraparound), but HUGEINT (128-bit) carries every intermediate:
+# byte×constant products stay < 2^72, the avalanche multiply splits the
+# operand into 32-bit halves, and xor round-trips through two's-
+# complement BIGINT. This makes the winnowing and SimHash signature
+# queries value-checkable instead of rows-only.
+
+_U64_M = 1 << 64
+_U64_B = 1099511628211  # FNV-64 prime (hashing.py _B)
+_U64_C = 0xFF51AFD7ED558CCD  # avalanche multiplier
+_P32, _P33, _H63 = 1 << 32, 1 << 33, 1 << 63
+
+
+def _sx(e: str) -> str:
+    """u64-as-HUGEINT expr → signed two's-complement BIGINT expr."""
+    return (
+        f"CAST(({e}) - CASE WHEN ({e}) >= CAST('{_H63}' AS HUGEINT) "
+        f"THEN CAST('{_U64_M}' AS HUGEINT) ELSE 0 END AS BIGINT)"
+    )
+
+
+def _ux(e: str) -> str:
+    """signed BIGINT expr → u64-as-HUGEINT expr."""
+    return (
+        f"(CASE WHEN ({e}) < 0 THEN CAST(({e}) AS HUGEINT) + "
+        f"CAST('{_U64_M}' AS HUGEINT) ELSE CAST(({e}) AS HUGEINT) END)"
+    )
+
+
+def _xor_u64(a: str, b: str) -> str:
+    return _ux(f"xor({_sx(a)}, {_sx(b)})")
+
+
+def _u64_hash_cte(k: int, src: str = "d") -> str:
+    """CTE chain from ``{src}(path, text)`` to ``h3(path, h)``: the
+    avalanche-finished k-byte rolling shingle hashes of hashing.py's
+    shingle_hashes_u64 (multiplicity kept, window order preserved).
+    Exact only for ASCII text (SQL substr/ascii are codepoint-wise;
+    the kernel is byte-wise) — consumers filter len == octet_length."""
+    pows = ", ".join(
+        f"CAST('{pow(_U64_B, j, _U64_M)}' AS HUGEINT)" for j in range(k)
+    )
+    mul = (
+        f"((CAST('{_U64_C}' AS HUGEINT) * (x % {_P32}) "
+        f"+ ((CAST('{_U64_C}' AS HUGEINT) * (x // {_P32})) % {_P32}) * {_P32}) "
+        f"% CAST('{_U64_M}' AS HUGEINT))"
+    )
+    shift33 = f"(x // {_P33})"
+    return f"""
+    pwc AS (SELECT [{pows}] AS pw),
+    hraw AS (
+      SELECT path,
+        list_transform(range(1, len(text) - {k} + 2),
+          i -> CAST(list_sum(list_transform(range(0, {k}),
+                 j -> CAST(ascii(substr(text, CAST(i + j AS INTEGER), 1)) AS HUGEINT)
+                      * pw[CAST(j + 1 AS INTEGER)]))
+               % CAST('{_U64_M}' AS HUGEINT) AS HUGEINT)) AS h
+      FROM {src}, pwc),
+    h1 AS (SELECT path, list_transform(h, x -> {_xor_u64('x', shift33)}) AS h FROM hraw),
+    h2 AS (SELECT path, list_transform(h, x -> {mul}) AS h FROM h1),
+    h3 AS (SELECT path, list_transform(h, x -> {_xor_u64('x', shift33)}) AS h FROM h2)"""
+
+
+def _winnow_oracle_sql(k: int, w: int) -> str:
+    """Winnowing fingerprint profile: count + signed min/max of the
+    deduplicated window-min hashes (hashing.py winnow_fingerprints)."""
+    return f"""
+    WITH d AS (
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS path, text
+        FROM documents
+        WHERE len(text) = octet_length(encode(text)) AND len(text) >= {k}),
+    {_u64_hash_cte(k)},
+    fp AS (
+      SELECT path,
+        list_distinct(CASE WHEN len(h) <= {w} THEN h
+          ELSE list_transform(range(0, len(h) - {w} + 1),
+                 v -> list_aggregate(h[(v+1):(v+{w})], 'min')) END) AS fps
+      FROM h3)
+    SELECT path,
+           CAST(len(fps) AS INTEGER) AS n_fingerprints,
+           list_aggregate(list_transform(fps, x -> {_sx('x')}), 'min') AS fp_min,
+           list_aggregate(list_transform(fps, x -> {_sx('x')}), 'max') AS fp_max
+    FROM fp
+    """
+
+
+def _simhash_oracle_sql(k: int) -> str:
+    """Charikar SimHash (hashing.py simhash64): per-bit majority votes
+    over the hash multiset, assembled in 32-bit halves (BIGINT shifts
+    after one HUGEINT split per hash — cheap), wrapped to signed."""
+    return f"""
+    WITH d AS (
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS path, text
+        FROM documents
+        WHERE len(text) = octet_length(encode(text)) AND len(text) >= {k}),
+    {_u64_hash_cte(k)},
+    hu AS (SELECT path, unnest(h) AS x FROM h3),
+    hv AS (SELECT path,
+                  CAST(x % {_P32} AS BIGINT) AS xlo,
+                  CAST(x // {_P32} AS BIGINT) AS xhi
+           FROM hu),
+    cnts AS (
+      SELECT path, n.i,
+             SUM((xlo >> n.i) & 1) AS clo,
+             SUM((xhi >> n.i) & 1) AS chi,
+             COUNT(*) AS n
+      FROM hv CROSS JOIN (SELECT unnest(range(0, 32)) AS i) n
+      GROUP BY path, n.i),
+    halves AS (
+      SELECT path,
+             SUM(CASE WHEN 2 * clo > n THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS lo,
+             SUM(CASE WHEN 2 * chi > n THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS hi
+      FROM cnts GROUP BY path),
+    raw AS (
+      SELECT path, CAST(hi AS HUGEINT) * {_P32} + CAST(lo AS HUGEINT) AS u
+      FROM halves)
+    SELECT path, {_sx('u')} AS simhash FROM raw
+    """
+
+
+def _fold31(x: str) -> str:
+    """hashing.py shingle_set_u32 fold: (h ^ (h >> 31)) & 0x7FFFFFFF."""
+    return f"CAST(({_xor_u64(x, f'(({x}) // {1 << 31})')}) % {1 << 31} AS BIGINT)"
+
+
+def _minhash_pairs_oracle_sql() -> str:
+    """Full replay of q_minhash_pairs: OPH MinHash (bins = h mod 128,
+    min of (h>>33)&0x7FFFFFFF per bin, rotation densification = value
+    of the nearest cyclically-right filled bin + distance — provably
+    what the numpy shift loop converges to), r=4 band slices (band
+    xxhash64 equality == slice-tuple equality up to 2^-64 collisions),
+    bucket cap, then the three verify gates: size ratio ≥ 0.3,
+    signature agreement ≥ 0.2, exact 5-shingle-set Jaccard ≥ 0.35."""
+    return f"""
+    WITH d AS (
+        SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) AS path, text
+        FROM documents
+        WHERE len(text) = octet_length(encode(text)) AND len(text) >= 5),
+    {_u64_hash_cte(5)},
+    hd AS (SELECT path, list_distinct(h) AS h FROM h3),
+    hu AS (SELECT path, unnest(h) AS x FROM hd),
+    filled AS (
+      SELECT path, CAST(x % 128 AS BIGINT) AS bin,
+             MIN(CAST((x // {_P33}) % {1 << 31} AS BIGINT)) AS v
+      FROM hu GROUP BY path, CAST(x % 128 AS BIGINT)),
+    paths AS (SELECT DISTINCT path FROM filled),
+    allb AS (
+      SELECT p.path, n.bin
+      FROM paths p CROSS JOIN (SELECT unnest(range(0, 128)) AS bin) n),
+    dens AS (
+      SELECT a.path, a.bin,
+             f.v + ((f.bin - a.bin + 128) % 128) AS val,
+             ROW_NUMBER() OVER (PARTITION BY a.path, a.bin
+                                ORDER BY ((f.bin - a.bin + 128) % 128)) AS rn
+      FROM allb a JOIN filled f ON f.path = a.path),
+    sigs AS (
+      SELECT path, list(val ORDER BY bin) AS sig
+      FROM dens WHERE rn = 1 GROUP BY path),
+    bandrows AS (
+      SELECT path, b.band_id,
+             sig[CAST(4 * b.band_id + 1 AS INTEGER)] AS v1,
+             sig[CAST(4 * b.band_id + 2 AS INTEGER)] AS v2,
+             sig[CAST(4 * b.band_id + 3 AS INTEGER)] AS v3,
+             sig[CAST(4 * b.band_id + 4 AS INTEGER)] AS v4
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 32)) AS band_id) b),
+    bsize AS (
+      SELECT band_id, v1, v2, v3, v4, COUNT(*) AS c
+      FROM bandrows GROUP BY band_id, v1, v2, v3, v4),
+    okb AS (SELECT band_id, v1, v2, v3, v4 FROM bsize WHERE c BETWEEN 2 AND 200),
+    cands AS (
+      SELECT DISTINCT a.path AS id_a, bb.path AS id_b
+      FROM bandrows a
+      JOIN bandrows bb ON a.band_id = bb.band_id AND a.v1 = bb.v1
+           AND a.v2 = bb.v2 AND a.v3 = bb.v3 AND a.v4 = bb.v4
+           AND bb.path > a.path
+      JOIN okb o ON o.band_id = a.band_id AND o.v1 = a.v1 AND o.v2 = a.v2
+           AND o.v3 = a.v3 AND o.v4 = a.v4),
+    szs AS (SELECT path, CAST(len(text) AS DOUBLE) AS sz FROM d),
+    g1 AS (
+      SELECT id_a, id_b FROM cands
+      JOIN szs sa ON sa.path = id_a JOIN szs sb ON sb.path = id_b
+      WHERE least(sa.sz, sb.sz) / greatest(sa.sz, sb.sz) >= 0.3),
+    g2 AS (
+      SELECT id_a, id_b FROM g1
+      JOIN sigs s1 ON s1.path = g1.id_a JOIN sigs s2 ON s2.path = g1.id_b
+      WHERE CAST(len(list_filter(range(1, 129),
+                   i -> s1.sig[CAST(i AS INTEGER)] = s2.sig[CAST(i AS INTEGER)]))
+                 AS DOUBLE) / 128.0 >= 0.2),
+    grams AS (
+      SELECT path, list_distinct(list_transform(h, x -> {_fold31('x')})) AS g
+      FROM h3),
+    j AS (
+      SELECT g2.id_a, g2.id_b,
+             CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))
+               AS jaccard
+      FROM g2 JOIN grams ga ON ga.path = g2.id_a
+              JOIN grams gb ON gb.path = g2.id_b)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.35
+    """
+
+
+def _dedup_pipeline_oracle_sql() -> str:
+    """Replay of q_dedup_pipeline (production config, jaccard ≥ 0.5,
+    size ratio ≥ 0.5): sha-collapse to min-fid representatives, OPH +
+    r=4 banding + bucket cap over the representatives, size-ratio +
+    exact-Jaccard verify (the pipeline's near_dup_edges applies no sig
+    gate — signatures are dropped from the slim table), exact star
+    edges ∪ near edges, recursive-closure components, min-fid keeper
+    election and the size-warning gate — the same plan tail as
+    _CLUSTER_ORACLE_SQL."""
+    return f"""
+    WITH RECURSIVE d AS (
+        SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) AS path, text
+        FROM documents
+        WHERE len(text) = octet_length(encode(text)) AND len(text) >= 5),
+    {_u64_hash_cte(5)},
+    f AS (SELECT path AS fid, text, octet_length(encode(text)) AS size FROM d),
+    sha_g AS (
+      SELECT fid, min(fid) OVER (PARTITION BY sha256(text)) AS root,
+             count(*) OVER (PARTITION BY sha256(text)) AS n
+      FROM f),
+    exact_e AS (
+      SELECT root AS id_a, fid AS id_b FROM sha_g WHERE n > 1 AND fid != root),
+    reps AS (SELECT DISTINCT root AS fid FROM sha_g),
+    hd AS (
+      SELECT h3.path, list_distinct(h3.h) AS h
+      FROM h3 JOIN reps ON reps.fid = h3.path),
+    hu AS (SELECT path, unnest(h) AS x FROM hd),
+    filled AS (
+      SELECT path, CAST(x % 128 AS BIGINT) AS bin,
+             MIN(CAST((x // {_P33}) % {1 << 31} AS BIGINT)) AS v
+      FROM hu GROUP BY path, CAST(x % 128 AS BIGINT)),
+    paths AS (SELECT DISTINCT path FROM filled),
+    allb AS (
+      SELECT p.path, n.bin
+      FROM paths p CROSS JOIN (SELECT unnest(range(0, 128)) AS bin) n),
+    dens AS (
+      SELECT a.path, a.bin,
+             fb.v + ((fb.bin - a.bin + 128) % 128) AS val,
+             ROW_NUMBER() OVER (PARTITION BY a.path, a.bin
+                                ORDER BY ((fb.bin - a.bin + 128) % 128)) AS rn
+      FROM allb a JOIN filled fb ON fb.path = a.path),
+    sigs AS (
+      SELECT path, list(val ORDER BY bin) AS sig
+      FROM dens WHERE rn = 1 GROUP BY path),
+    bandrows AS (
+      SELECT path, b.band_id,
+             sig[CAST(4 * b.band_id + 1 AS INTEGER)] AS v1,
+             sig[CAST(4 * b.band_id + 2 AS INTEGER)] AS v2,
+             sig[CAST(4 * b.band_id + 3 AS INTEGER)] AS v3,
+             sig[CAST(4 * b.band_id + 4 AS INTEGER)] AS v4
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 32)) AS band_id) b),
+    bsize AS (
+      SELECT band_id, v1, v2, v3, v4, COUNT(*) AS c
+      FROM bandrows GROUP BY band_id, v1, v2, v3, v4),
+    okb AS (SELECT band_id, v1, v2, v3, v4 FROM bsize WHERE c BETWEEN 2 AND 200),
+    cands AS (
+      SELECT DISTINCT a.path AS id_a, bb.path AS id_b
+      FROM bandrows a
+      JOIN bandrows bb ON a.band_id = bb.band_id AND a.v1 = bb.v1
+           AND a.v2 = bb.v2 AND a.v3 = bb.v3 AND a.v4 = bb.v4
+           AND bb.path > a.path
+      JOIN okb o ON o.band_id = a.band_id AND o.v1 = a.v1 AND o.v2 = a.v2
+           AND o.v3 = a.v3 AND o.v4 = a.v4),
+    g1 AS (
+      SELECT id_a, id_b FROM cands
+      JOIN f sa ON sa.fid = id_a JOIN f sb ON sb.fid = id_b
+      WHERE least(CAST(sa.size AS DOUBLE), CAST(sb.size AS DOUBLE))
+            / greatest(CAST(sa.size AS DOUBLE), CAST(sb.size AS DOUBLE)) >= 0.5),
+    grams AS (
+      SELECT path, list_distinct(list_transform(h, x -> {_fold31('x')})) AS g
+      FROM h3),
+    near_e AS (
+      SELECT g1.id_a, g1.id_b
+      FROM g1 JOIN grams ga ON ga.path = g1.id_a
+              JOIN grams gb ON gb.path = g1.id_b
+      WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+            / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) >= 0.5),
+    edges AS (SELECT * FROM exact_e UNION SELECT * FROM near_e),
+    und AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(node, comp) AS (
+        SELECT DISTINCT src, src FROM und
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node),
+    labels AS (SELECT node AS fid, min(comp) AS component
+               FROM reach GROUP BY node),
+    sized AS (SELECT l.fid, l.component, f.size
+              FROM labels l JOIN f ON f.fid = l.fid),
+    ks AS (SELECT component,
+                  max(CASE WHEN fid = component THEN size END) AS keeper_size
+           FROM sized GROUP BY component)
+    SELECT s.fid, s.component,
+           s.fid = s.component AS is_keeper,
+           CASE WHEN s.fid = s.component THEN NULL
+                ELSE s.component END AS duplicate_of,
+           CASE WHEN s.fid = s.component THEN 'keep'
+                ELSE 'mark' END AS action,
+           (s.fid != s.component AND s.size > k.keeper_size) AS size_warning,
+           FALSE AS date_warning,
+           CASE WHEN s.fid = s.component THEN 'keep'
+                WHEN s.size > k.keeper_size THEN 'skipped'
+                ELSE 'mark' END AS action_effective
+    FROM sized s JOIN ks k USING (component)
+    """
+
+
+def _substring_pairs_oracle_sql() -> str:
+    """Replay of q_substring_pairs: winnowing fingerprints (k=16, w=8)
+    → pairs sharing ≥1 fingerprint whose bucket is within the cap."""
+    return f"""
+    WITH d AS (
+        SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) AS path, text
+        FROM documents
+        WHERE len(text) = octet_length(encode(text)) AND len(text) >= 16),
+    {_u64_hash_cte(16)},
+    fp AS (
+      SELECT path,
+        list_distinct(CASE WHEN len(h) <= 8 THEN h
+          ELSE list_transform(range(0, len(h) - 8 + 1),
+                 v -> list_aggregate(h[(v+1):(v+8)], 'min')) END) AS fps
+      FROM h3),
+    ex AS (SELECT path, unnest(fps) AS f FROM fp),
+    cnt AS (SELECT f, COUNT(*) AS c FROM ex GROUP BY f),
+    ok AS (SELECT f FROM cnt WHERE c BETWEEN 2 AND 200)
+    SELECT DISTINCT a.path AS id_a, b.path AS id_b
+    FROM ex a
+    JOIN ex b ON a.f = b.f AND b.path > a.path
+    JOIN ok ON ok.f = a.f
+    """
+
+
 # Shared stub-decode aHash recomputation (see "media_phash" notes in
 # oracle_sql): ends with CTE ph(media_id, phash), consumers append the
 # final SELECT.
@@ -1475,6 +1850,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ph a JOIN ph b ON b.media_id > a.media_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
+        # u64 rolling-hash kernel replicas (see _u64_hash_cte): the
+        # Arrow-UDF signature stages value-checked against pure SQL
+        "winnow_fingerprints": _winnow_oracle_sql(32, 16),
+        "simhash_sigs": _simhash_oracle_sql(5),
+        "minhash_pairs": _minhash_pairs_oracle_sql(),
+        "substring_pairs": _substring_pairs_oracle_sql(),
+        "dedup_pipeline": _dedup_pipeline_oracle_sql(),
         "ann_lsh": _ann_oracle_sql(),
         # exhaustive O(n²) truth for the MinHash-LSH pipeline: all
         # pairs with char-5-gram Jaccard ≥ 0.6 (see q_minhash_vs_truth
