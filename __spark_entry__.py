@@ -630,6 +630,52 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(queries, emb, dim=64, k=3, n_planes=6, n_tables=2)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (similarity.ivf_topk), DuckDB-oracled end-to-end:
+    the default coarse quantizer is a deterministic corpus sample (the
+    n_list smallest ids), so centroid assignment (window argmin over
+    rounded cosine), the n_probe probed lists, and the exact re-rank
+    all replay exactly in SQL. A trained quantizer (pyspark.ml KMeans)
+    plugs into the ``centroids`` parameter on real deployments."""
+    from deduplidog_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(queries, emb, k=3, n_list=16, n_probe=4)
+
+
+def _ann_ivf_oracle_sql() -> str:
+    assign = """
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                c.cid) AS rn
+            FROM {src} e CROSS JOIN cent c) {alias} WHERE rn <= {probes}"""
+    return f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM emb
+                 ORDER BY vec_id LIMIT 16),
+        cassign AS ({assign.format(src='emb', alias='ca', probes=1)}),
+        qe0 AS (SELECT * FROM emb WHERE vec_id < 20),
+        qassign AS ({assign.format(src='qe0', alias='qa', probes=4)}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM qassign q JOIN cassign c USING (cid)
+            WHERE q.vec_id != c.vec_id),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_cosine_similarity(qe.v, ce.v), 6) AS cosine_sim
+            FROM cand JOIN emb qe ON qe.vec_id = cand.query_id
+                      JOIN emb ce ON ce.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 3
+    """
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing, DuckDB-oracled: binary payloads (document
     text bytes — deterministic on both sides) stream through the real
@@ -1184,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_profiles": q_repo_profiles,
         "substring_pairs": q_substring_pairs,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "dedup_pipeline": q_dedup_pipeline,
         "minhash_vs_truth": q_minhash_vs_truth,
         "simhash_vs_truth": q_simhash_vs_truth,
@@ -1858,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_pairs": _substring_pairs_oracle_sql(),
         "dedup_pipeline": _dedup_pipeline_oracle_sql(),
         "ann_lsh": _ann_oracle_sql(),
+        "ann_ivf": _ann_ivf_oracle_sql(),
         # exhaustive O(n²) truth for the MinHash-LSH pipeline: all
         # pairs with char-5-gram Jaccard ≥ 0.6 (see q_minhash_vs_truth
         # for why LSH output equals this set deterministically)

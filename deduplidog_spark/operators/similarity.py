@@ -67,6 +67,98 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_list: int = 16,
+    n_probe: int = 4,
+    max_list: int = 100_000,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN — the inverted-file alternative to lsh_ann_topk
+    (task brief: "an IVF or LSH-bucketed variant as the scale path").
+
+    - **coarse quantizer**: ``centroids`` (id, vec) — any trained set
+      plugs in (e.g. pyspark.ml KMeans cluster centers); the default is
+      a deterministic sample of the corpus (the ``n_list`` smallest
+      ids), which keeps the whole operator reproducible and
+      SQL-checkable end-to-end;
+    - **inverted lists**: every corpus vector is assigned to its
+      nearest centroid (broadcast join over ``n_list`` rows + a window
+      argmin — the assignment shuffle carries (id, cid), never the
+      vectors);
+    - **probes**: each query scans its ``n_probe`` nearest lists, so
+      the candidate join touches ~``n_probe/n_list`` of the corpus
+      instead of all of it;
+    - **skew guard**: lists larger than ``max_list`` are dropped whole
+      (a degenerate centroid — zero vectors, truncation artifacts —
+      would otherwise absorb the corpus and go O(h·Q)); mirrors the
+      LSH paths' bucket caps.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank) like the other
+    two search paths; exact re-rank inside the probed lists."""
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_list)
+    cent = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cent_vec")
+        )
+    )
+
+    def assign(df: DataFrame, out_id: str, probes: int) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("v")
+        )
+        scored = v.crossJoin(cent).withColumn(
+            "cdist", F.round(cosine(F.col("v"), F.col("cent_vec")), 6)
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("cdist").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= probes)
+            .select(out_id, "cid")
+        )
+
+    lists = assign(corpus, "neighbor_id", 1)
+    lw = Window.partitionBy("cid")
+    lists = (
+        lists.withColumn("list_size", F.count("*").over(lw))
+        .filter(F.col("list_size") <= max_list)
+        .drop("list_size")
+    )
+    probes = assign(queries, "query_id", n_probe)
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()

@@ -96,6 +96,61 @@ def test_lsh_ann_recall_on_tight_clusters(spark):
     assert recall >= 0.9, f"ANN recall {recall}"
 
 
+def test_ivf_recall_and_centroid_seam(spark):
+    """IVF-flat path: with enough probes the probed lists contain the
+    true neighbors (tight clusters → one list per cluster); a supplied
+    centroid set (the pyspark.ml-KMeans seam) must be honored."""
+    import numpy as np
+
+    from deduplidog_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(5, 16)
+    rows = []
+    for i in range(100):
+        c = centers[i % 5]
+        rows.append((i, (c + rng.randn(16) * 0.01).astype("float32").tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = brute_force_topk(df.filter("vec_id < 10"), df, k=3)
+    approx = ivf_topk(df.filter("vec_id < 10"), df, k=3, n_list=10, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall {recall}"
+    # explicit quantizer: one centroid per true cluster → recall 1.0
+    # even with a single probe
+    cents = spark.createDataFrame(
+        [(i, centers[i].astype("float32").tolist()) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    one_probe = ivf_topk(
+        df.filter("vec_id < 10"), df, k=3, n_probe=1, centroids=cents
+    )
+    a1 = {(r.query_id, r.neighbor_id) for r in one_probe.collect()}
+    assert len(e & a1) / len(e) == 1.0
+
+
+def test_ivf_hot_list_dropped(spark):
+    """A degenerate inverted list absorbing the corpus is dropped whole
+    (max_list), mirroring the LSH bucket cap: queries probing it get a
+    bounded candidate set instead of O(h) per query."""
+    import numpy as np
+
+    from deduplidog_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(1)
+    hot = rng.randn(8)
+    rows = [(i, (hot + rng.randn(8) * 1e-6).astype("float32").tolist()) for i in range(500)]
+    rows += [(500 + i, rng.randn(8).astype("float32").tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_topk(
+        df.filter("vec_id IN (0, 505)"), df, k=3, n_list=8, n_probe=2, max_list=50
+    ).collect()
+    # the hot list (≈500 members) was dropped: query 0's neighbors can
+    # only come from surviving lists
+    assert all(len([r for r in out if r.query_id == q]) <= 3 for q in (0, 505))
+
+
 def test_lsh_ann_hot_bucket_capped(spark):
     """A degenerate bucket (1000 near-identical vectors — think
     zero-embedding/truncation artifacts) must not go O(h²): with
