@@ -127,3 +127,60 @@ def test_lcs_binary_search_matches_bruteforce(a, b):
     """The rolling-hash binary-search LCS equals the O(n*m) definition
     on adversarially small alphabets (maximum collision pressure)."""
     assert H.longest_common_substring_len(a, b) == _lcs_brute(a, b)
+
+
+# ---- DuckDB SQL replicas of the kernels (oracle foundations) -------------
+# The contract oracles replay these kernels in HUGEINT SQL
+# (__spark_entry__._u64_hash_cte and friends); these properties pin the
+# replicas to the numpy kernels on arbitrary ASCII inputs, not just the
+# contract corpus.
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.sampled_from([5, 9, 16]),
+)
+def test_sql_u64_hash_replica_matches_kernel(text, k):
+    import duckdb
+
+    import __spark_entry__ as e
+
+    if len(text) < k:
+        text = text + "x" * (k - len(text))
+    sql = (
+        f"WITH d AS (SELECT 'p' AS path, ? AS text), {e._u64_hash_cte(k)} "
+        "SELECT h FROM h3"
+    )
+    (h_list,) = duckdb.execute(sql, [text]).fetchone()
+    got = np.array([int(x) for x in h_list], dtype=np.uint64)
+    assert np.array_equal(got, H.shingle_hashes_u64(text, k))
+
+
+def test_sql_winnow_and_simhash_profiles_match_kernels():
+    import duckdb
+
+    import __spark_entry__ as e
+
+    texts = [
+        "def main():\n    return 42\n# quick brown fox 0123456789" * 4,
+        "a" * 40,
+        "x" * 32,
+        "short but ok, padded to length thirty-two!!",
+        "".join(chr(32 + (i * 7) % 95) for i in range(500)),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    got_w = {r[0]: r[1:] for r in con.execute(e._winnow_oracle_sql(32, 16)).fetchall()}
+    for i, t in enumerate(texts):
+        fps = H.winnow_fingerprints(t, 32, 16)
+        assert got_w[f"doc_{i}"] == (len(fps), int(fps.min()), int(fps.max()))
+    got_s = {r[0]: r[1] for r in con.execute(e._simhash_oracle_sql(5)).fetchall()}
+    for i, t in enumerate(texts):
+        assert got_s[f"doc_{i}"] == H.simhash64(H.shingle_hashes_u64(t, 5))
