@@ -154,6 +154,36 @@ def streaming_candidate_pairs(
     )
 
 
+def streaming_ingest_metrics(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Windowed run metrics on the ingest stream — A3's counters
+    (`actions.run_metrics`) as a stream: per event-time window, file
+    count, byte volume and distinct-repo cardinality. Watermark +
+    window aggregation is the canonical late-data shape: a row later
+    than the watermark is dropped instead of reopening its closed
+    window, so aggregation state is bounded by the horizon — at 1e12
+    rows/day the state store holds hours, not history."""
+    return (
+        stream.withWatermark("mtime", watermark)
+        .groupBy(F.window("mtime", window))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.octet_length("content")).alias("n_bytes"),
+            F.approx_count_distinct("repo").alias("n_repos"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_files",
+            "n_bytes",
+            "n_repos",
+        )
+    )
+
+
 def run_incremental(
     stream: DataFrame,
     cfg: DedupConfig,

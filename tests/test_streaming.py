@@ -158,3 +158,39 @@ def test_streaming_signatures_schema(spark):
     rows = spark.sql("SELECT * FROM sig_out").collect()
     assert len(rows) == len(FX.corpus_b_rows())
     assert all(len(r.band_hashes) == 32 for r in rows)
+
+
+def test_streaming_windowed_metrics(spark):
+    """Watermark + window aggregation (A3 counters as a stream): rows
+    land in their event-time window with correct counts and byte
+    volumes."""
+    from datetime import datetime
+
+    from deduplidog_spark.streaming.incremental import streaming_ingest_metrics
+
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "in")
+    rows = [
+        _row("w1_a.txt", "aaaa", datetime(2026, 1, 1, 10, 1)),
+        _row("w1_b.txt", "bbbbbb", datetime(2026, 1, 1, 10, 7)),
+        _row("w2_a.txt", "cc", datetime(2026, 1, 1, 10, 14)),
+    ]
+    import deduplidog_spark.fixtures as FX2
+
+    FX2.to_spark_df(spark, rows).write.parquet(src)
+    stream = read_file_stream(spark, src, FX.FILES_SCHEMA)
+    agg = streaming_ingest_metrics(stream, window="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = {r.window_start.minute: r for r in spark.sql("SELECT * FROM win_metrics").collect()}
+    assert set(out) == {0, 10}
+    assert out[0].n_files == 2 and out[0].n_bytes == 10
+    assert out[10].n_files == 1 and out[10].n_bytes == 2
+    assert out[0].n_repos == 1
