@@ -2,7 +2,13 @@
 
 Usage (via scripts/submit.sh):
     spark-submit --py-files deduplidog_spark.zip scripts/run_dedupe.py \
-        <corpus_location> <checkpoint_dir> [mode] [jaccard_threshold]
+        <corpus_location> <checkpoint_target> [mode] [jaccard_threshold]
+
+``checkpoint_target`` is either a path (parquet stage dirs) or
+``table:<catalog.db.prefix>[:format]`` for catalog-table stage
+checkpoints — e.g. ``table:lake.db.run1:iceberg`` on a cluster with
+the Iceberg runtime (north_rule), or ``table:run1`` for the session
+catalog's default format.
 """
 
 from __future__ import annotations
@@ -12,7 +18,7 @@ import sys
 from pyspark.sql import SparkSession
 
 from deduplidog_spark.config import DedupConfig
-from deduplidog_spark.metrics import lineage_report
+from deduplidog_spark.metrics import lineage_report, lineage_report_table
 from deduplidog_spark.pipeline import dedupe
 from deduplidog_spark.sources.readers import read_corpus
 
@@ -24,13 +30,24 @@ def main() -> None:
     tau = float(sys.argv[4]) if len(sys.argv) > 4 else 0.7
 
     spark = SparkSession.builder.appName("deduplidog-spark").getOrCreate()
-    cfg = DedupConfig(
-        mode=mode, shingle_k=9, jaccard_threshold=tau, checkpoint_dir=ckpt
-    )
+    common = dict(mode=mode, shingle_k=9, jaccard_threshold=tau)
+    if ckpt.startswith("table:"):
+        parts = ckpt.split(":")
+        prefix = parts[1]
+        fmt = parts[2] if len(parts) > 2 else "parquet"
+        cfg = DedupConfig(
+            checkpoint_table_prefix=prefix, checkpoint_format=fmt, **common
+        )
+    else:
+        cfg = DedupConfig(checkpoint_dir=ckpt, **common)
     res = dedupe(read_corpus(spark, corpus_loc), cfg)
     res.metrics.show(truncate=False)
-    lineage_report(spark, ckpt).show(truncate=False)
-    print(f"plan written to {ckpt}/plan")
+    if cfg.checkpoint_table_prefix:
+        lineage_report_table(spark, cfg.checkpoint_table_prefix).show(truncate=False)
+        print(f"plan in table {cfg.checkpoint_table_prefix}_plan_{cfg.fingerprint()}")
+    else:
+        lineage_report(spark, f"{ckpt.rstrip('/')}/{cfg.fingerprint()}").show(truncate=False)
+        print(f"plan written to {ckpt}/{cfg.fingerprint()}/plan")
 
 
 if __name__ == "__main__":
