@@ -121,8 +121,13 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
     # (≤ 3% of input bytes) and shuffling the corpus itself.
     contents = files.select("fid", "content")
 
-    def _mat(d):  # band-table checkpoint hook → parquet when resumable
-        return _ckpt(d, cfg, "lsh_buckets")
+    def _mat(d):  # band-table checkpoint hook → parquet/table when resumable.
+        # reuse=False: in the grouped-LSH design the bucket table has
+        # exactly ONE consumer (in-bucket pair expansion), so without a
+        # checkpoint target an eager localCheckpoint here is a pure
+        # driver barrier — stay lazy and let the single downstream
+        # materialization pull the chain once.
+        return _ckpt(d, cfg, "lsh_buckets", reuse=False)
 
     if cfg.mode == "minhash":
         sigs = mh.with_band_hashes(mh.with_signatures(files, cfg), cfg)
