@@ -36,15 +36,19 @@ def record_lineage(df: DataFrame, checkpoint_dir: str, stage: str) -> None:
 
 
 def record_lineage_table(
-    df: DataFrame, table_prefix: str, fmt: str, stage: str
+    df: DataFrame, table_prefix: str, fmt: str, stage: str, run: str = ""
 ) -> None:
     """Append the stage's partition histogram to ``<prefix>_lineage``
     as a catalog table (Iceberg on clusters with the runtime — appends
     are then atomic snapshots; parquet session-catalog tables under
-    test)."""
+    test). ``run`` carries the config fingerprint so several configs
+    sharing one prefix stay distinguishable — the path variant encodes
+    it in the run directory instead."""
     name = f"{table_prefix}_lineage"
-    hist = partition_histogram(df, stage).withColumn(
-        "recorded_at", F.lit(int(time.time())).cast("timestamp")
+    hist = (
+        partition_histogram(df, stage)
+        .withColumn("recorded_at", F.lit(int(time.time())).cast("timestamp"))
+        .withColumn("run", F.lit(run))
     )
     hist.write.format(fmt).mode("append").saveAsTable(name)
 

@@ -82,7 +82,11 @@ def _ckpt(df: DataFrame, cfg: DedupConfig, stage: str, reuse: bool = True) -> Da
             df.write.format(cfg.checkpoint_format).mode("overwrite").saveAsTable(name)
             out = spark.table(name)
             record_lineage_table(
-                out, cfg.checkpoint_table_prefix, cfg.checkpoint_format, stage
+                out,
+                cfg.checkpoint_table_prefix,
+                cfg.checkpoint_format,
+                stage,
+                run=cfg.fingerprint(),
             )  # north_rule: per-partition lineage beside the stage tables
             return out
         return spark.table(name)
