@@ -1186,6 +1186,57 @@ def q_substring_verified(spark, sf_dir):
     )
 
 
+def q_passage_dedup(spark, sf_dir):
+    """Sub-document (passage-level) dedup stats: per-doc share of
+    20-word passages that occur more than once in the corpus
+    (operators/pretrain.passage_dup_stats — training-data extra)."""
+    from deduplidog_spark.operators import pretrain
+
+    return pretrain.passage_dup_stats(
+        _t(spark, sf_dir, "documents"), passage_words=20
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any 8-word gram
+    with the held-out benchmark slice (doc_id % 29 == 0). The benchmark
+    gram set broadcasts; the corpus never shuffles on the gram key."""
+    from deduplidog_spark.operators import pretrain
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    benchmark = d.filter(F.col("doc_id") % 29 == 0)
+    return pretrain.decontaminate(corpus, benchmark, gram_words=8)
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition metrics — one codegen
+    stage, no shuffle (operators/pretrain.repetition_stats)."""
+    from deduplidog_spark.operators import pretrain
+
+    return pretrain.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus top-50 word 2-grams by frequency (deterministic
+    count-desc, gram-asc order) — map-side combined explode+count."""
+    from deduplidog_spark.operators import pretrain
+
+    return pretrain.vocab_topk(_t(spark, sf_dir, "documents"), gram_words=2, k=50)
+
+
+def q_quality_keeper(spark, sf_dir):
+    """Quality-preferring keeper election (W3 with the training-data
+    preference) over shared-opening-passage clusters: keep the
+    highest-quality member, tie-break on doc_id."""
+    from deduplidog_spark.operators import pretrain
+
+    d = _t(spark, sf_dir, "documents")
+    return pretrain.quality_keepers(
+        d, key=pretrain.head_passage_fingerprint(F.col("text"), 20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_counters": q_agg_counters,
@@ -1243,6 +1294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symlink_janitor": q_symlink_janitor,
         "symlink_dirs": q_symlink_dirs,
         "substring_verified": q_substring_verified,
+        "passage_dedup": q_passage_dedup,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
+        "vocab_topk": q_vocab_topk,
+        "quality_keeper": q_quality_keeper,
     }
 
 
@@ -2306,5 +2362,110 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
                 WHERE q.vec_id < 20
             ) WHERE rank <= 3
+        """,
+        "passage_dedup": """
+            WITH p AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(0, CAST(ceil(len(w)/20.0) AS BIGINT)),
+                           i -> md5(array_to_string(
+                               list_slice(w, i*20+1, i*20+20), ' ')))) AS passage_hash
+                FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                      FROM documents WHERE len(trim(text)) > 0)),
+            c AS (SELECT passage_hash, count(*) AS n FROM p GROUP BY 1)
+            SELECT p.doc_id,
+                   count(*) AS n_passages,
+                   CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_passages,
+                   round(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS dup_fraction
+            FROM p JOIN c USING (passage_hash)
+            GROUP BY p.doc_id
+        """,
+        "decontaminate": """
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents WHERE len(trim(text)) > 0),
+            g AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(w) >= 8 THEN list_distinct(list_transform(
+                        range(1, len(w) - 7 + 1),
+                        i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+                    ELSE [] END) AS gram
+                FROM w),
+            b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0)
+            SELECT doc_id, count(*) AS n_hits
+            FROM g JOIN b USING (gram)
+            WHERE doc_id % 29 != 0
+            GROUP BY doc_id
+        """,
+        "repetition": """
+            SELECT doc_id,
+                   CASE WHEN n_w = 0 THEN 0 ELSE n_w END AS n_words,
+                   CASE WHEN n_w > 0
+                        THEN round((n_w - n_wd) * 1.0 / n_w, 6)
+                        ELSE 0.0 END AS dup_word_fraction,
+                   CASE WHEN n_g > 0
+                        THEN round((n_g - n_gd) * 1.0 / n_g, 6)
+                        ELSE 0.0 END AS dup_2gram_fraction
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(w) END AS n_w,
+                       len(list_distinct(w)) AS n_wd,
+                       len(g) AS n_g,
+                       len(list_distinct(g)) AS n_gd
+                FROM (
+                    SELECT doc_id, text, w,
+                           CASE WHEN len(w) >= 2 THEN list_transform(
+                               range(1, len(w) - 1 + 1),
+                               i -> array_to_string(list_slice(w, i, i + 1), ' '))
+                           ELSE [] END AS g
+                    FROM (SELECT doc_id, text,
+                                 string_split_regex(trim(text), '\\s+') AS w
+                          FROM documents)))
+        """,
+        "vocab_topk": """
+            SELECT gram, count(*) AS n_occurrences
+            FROM (
+                SELECT unnest(
+                    CASE WHEN len(w) >= 2 THEN list_transform(
+                        range(1, len(w) - 1 + 1),
+                        i -> array_to_string(list_slice(w, i, i + 1), ' '))
+                    ELSE [] END) AS gram
+                FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+                      FROM documents))
+            GROUP BY gram
+            ORDER BY n_occurrences DESC, gram ASC
+            LIMIT 50
+        """,
+        "quality_keeper": """
+            WITH q AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_slice(
+                           string_split_regex(trim(text), '\\s+'), 1, 20), ' '))
+                           AS cluster_fp,
+                       CAST(floor(least(CAST(n_chars_x AS DOUBLE)/200.0, 1.0)
+                             * (1.0 - CAST(punct AS DOUBLE)/greatest(n_chars_x, 1))
+                             * (0.5 + 0.5*CAST(n_distinct AS DOUBLE)/greatest(n_tok, 1))
+                             * 10000) AS BIGINT) AS quality_bp
+                FROM (
+                    SELECT doc_id, text, len(text) AS n_chars_x,
+                           CASE WHEN len(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+                           len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+                           len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                               AS n_distinct
+                    FROM documents)),
+            r AS (
+                SELECT doc_id, cluster_fp, quality_bp,
+                       row_number() OVER (PARTITION BY cluster_fp
+                           ORDER BY quality_bp DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY cluster_fp) AS n,
+                       first_value(doc_id) OVER (PARTITION BY cluster_fp
+                           ORDER BY quality_bp DESC, doc_id ASC) AS keeper_id
+                FROM q)
+            SELECT doc_id, cluster_fp, quality_bp,
+                   rn = 1 AS is_keeper, keeper_id
+            FROM r WHERE n > 1
         """,
     }

@@ -110,7 +110,7 @@ def connected_components(
     return labels
 
 
-def elect_keepers(files: DataFrame, labels: DataFrame, cfg=None) -> DataFrame:
+def elect_keepers(files: DataFrame, labels: DataFrame, cfg=None, order=None) -> DataFrame:
     """W3/W4: one canonical keeper per component.
 
     Default ordering mirrors the reference's default role election: the
@@ -124,10 +124,17 @@ def elect_keepers(files: DataFrame, labels: DataFrame, cfg=None) -> DataFrame:
     ``set_both_to_older_date`` propagates the min mtime
     (deduplidog.py:681-696). Emits one row per clustered file:
     (fid, component, is_keeper, duplicate_of, cluster_min_mtime).
+
+    ``order`` overrides the keeper preference with an explicit list of
+    ordering Columns (e.g. quality desc for training-data curation —
+    see operators/pretrain.quality_keepers); it must end in a
+    deterministic tie-break.
     """
     fid = F.concat_ws("/", "repo", "path")
     members = files.withColumn("fid", fid).join(labels, "fid")
-    if cfg is not None and cfg.treat_bigger_as_original:
+    if order is not None:
+        order = list(order)
+    elif cfg is not None and cfg.treat_bigger_as_original:
         order = [F.col("size").desc(), F.col("mtime").asc(), F.col("fid").asc()]
     else:
         order = [F.col("fid").asc()]

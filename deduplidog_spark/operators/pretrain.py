@@ -1,0 +1,250 @@
+"""Training-data curation operators beyond the reference's surface.
+
+A 100 TB pretraining pipeline needs more than whole-document dedup
+(SURVEY §2 + task brief "training-data extras"): passage-level dedup
+inside and across documents, benchmark decontamination, intra-document
+repetition metrics (the Gopher-style quality rules), corpus vocabulary
+statistics, and keeper election that prefers the *highest-quality*
+cluster member rather than the first/biggest one.
+
+Everything here is pure built-in column expressions (JVM, whole-stage
+codegen) — no Python in the hot path. The only shuffles are
+aggregations keyed on uniform hashes (passage md5 / gram md5), which
+partial-aggregate map-side and carry no document content.
+
+Reference tie-in: these generalize deduplidog's verify-then-act loop
+(deduplidog/deduplidog.py:443-592) from files to sub-document units;
+the keeper-preference generalizes W3 role election
+(deduplidog.py:73-78,529-540) to a quality ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import content_fingerprint, quality_score
+
+
+def words_of(text: Column) -> Column:
+    """Whitespace tokenization shared by every operator here (and by
+    the DuckDB oracles via string_split_regex)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def passage_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_words: int = 20,
+) -> DataFrame:
+    """Explode each document into consecutive ``passage_words``-word
+    passages: (id, passage_idx, passage_hash).
+
+    The unit of sub-document dedup. Passages are hashed (md5) in-scan so
+    the exploded table shuffles 32-byte keys, never text. Empty docs
+    produce no rows (skip_empty semantics, F4).
+    """
+    w = words_of(F.col(text_col))
+    n_pass = F.ceil(F.size(w) / F.lit(passage_words)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i * passage_words + 1, passage_words))),
+    )
+    return (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(passages).alias("passage_idx", "passage_hash"))
+    )
+
+
+def passage_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_words: int = 20,
+) -> DataFrame:
+    """Per-document share of passages that also occur elsewhere in the
+    corpus (in another document OR repeated within the same one):
+    (id, n_passages, n_dup_passages, dup_fraction).
+
+    Shape at scale: the duplicated-hash set (global count > 1) is tiny
+    relative to the corpus — one map-side-combined aggregate produces
+    it, and it joins back against the passage table on the hash key;
+    AQE turns that into a broadcast when it fits. No content crosses
+    the network at any point.
+    """
+    ptab = passage_table(docs, id_col, text_col, passage_words)
+    dup_hashes = (
+        ptab.groupBy("passage_hash")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 1)
+        .select("passage_hash")
+    )
+    flagged = ptab.join(
+        dup_hashes.withColumn("is_dup", F.lit(1)), "passage_hash", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_passages"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_passages") / F.col("n_passages"), 6),
+        )
+    )
+
+
+def word_grams(text: Column, n: int, distinct: bool = True) -> Column:
+    """Array of ``n``-word grams (space-joined); [] when the document
+    is shorter than n words."""
+    w = words_of(text)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_words: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    ``gram_words``-word gram with a held-out benchmark set — the
+    standard n-gram overlap rule for keeping eval sets out of training
+    data. Returns (id, n_hits) for contaminated documents only.
+
+    Shape at scale: the benchmark side is orders of magnitude smaller
+    than the corpus, so its distinct gram-hash set is built once
+    (map-side combined) and BROADCAST; the corpus side streams its
+    exploded gram hashes through the broadcast inner join and
+    partial-aggregates hit counts per document. The corpus never
+    shuffles on the gram key and content never leaves the scan.
+    """
+    bench_grams = (
+        benchmark.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(word_grams(F.col(text_col), gram_words)).alias("gram"))
+        .select(F.md5("gram").alias("gram_hash"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_grams(F.col(text_col), gram_words)).alias("gram"),
+    ).select(id_col, F.md5("gram").alias("gram_hash"))
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rules): the
+    fraction of word occurrences and 2-gram occurrences that are
+    repeats of an earlier occurrence. Pure per-row expressions — the
+    whole operator runs inside one codegen stage with NO shuffle.
+
+    Returns (id, n_words, dup_word_fraction, dup_2gram_fraction),
+    fractions rounded to 6 places for cross-engine comparability.
+    """
+    t = F.col(text_col)
+    w = words_of(t)
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(w))
+    n_distinct = F.size(F.array_distinct(w))
+    g2 = word_grams(t, 2, distinct=False)
+    n_g2 = F.size(g2)
+    n_g2_distinct = F.size(F.array_distinct(g2))
+    dup_words = F.when(
+        n_words > 0, F.round((n_words - n_distinct) / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    dup_g2 = F.when(
+        n_g2 > 0, F.round((n_g2 - n_g2_distinct) / n_g2, 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        dup_words.alias("dup_word_fraction"),
+        dup_g2.alias("dup_2gram_fraction"),
+    )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    gram_words: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level top-k most frequent word n-grams (tokenizer /
+    boilerplate diagnostics): (gram, n_occurrences), ordered by count
+    desc then gram asc (fully deterministic).
+
+    Shape at scale: explode → partial count map-side → one shuffle on
+    the gram string → global top-k via orderBy+limit, which Spark
+    executes as per-partition top-k + a driver merge of k rows, not a
+    global sort.
+    """
+    return (
+        docs.select(
+            F.explode(word_grams(F.col(text_col), gram_words, distinct=False)).alias(
+                "gram"
+            )
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+def head_passage_fingerprint(text: Column, n_words: int = 20) -> Column:
+    """md5 of the first ``n_words`` words — clusters documents sharing
+    their opening passage (scraped boilerplate headers, templated
+    files)."""
+    return F.md5(F.concat_ws(" ", F.slice(words_of(text), 1, n_words)))
+
+
+def quality_keepers(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: Column | None = None,
+) -> DataFrame:
+    """Quality-preferring keeper election over duplicate clusters:
+    within each cluster-key group (default: content_fingerprint —
+    casefold + whitespace-collapse; pass head_passage_fingerprint for
+    shared-opening-boilerplate clusters) keep the HIGHEST-quality
+    member, tie-broken by id. This is W3 keeper election
+    (deduplidog.py:73-78) with the training-data preference — keep the
+    best copy, not the first or biggest one.
+
+    Returns one row per member of a multi-document cluster:
+    (id, cluster_fp, quality_bp, is_keeper, keeper_id).
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        (key if key is not None else content_fingerprint(t)).alias("cluster_fp"),
+        quality_score(t).alias("quality_bp"),
+    )
+    w = Window.partitionBy("cluster_fp").orderBy(
+        F.col("quality_bp").desc(), F.col(id_col).asc()
+    )
+    cw = Window.partitionBy("cluster_fp")
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(cw))
+        .filter(F.col("_n") > 1)
+        .withColumn("is_keeper", F.col("_rn") == 1)
+        .withColumn("keeper_id", F.first(F.col(id_col)).over(w))
+        .drop("_rn", "_n")
+    )
