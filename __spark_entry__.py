@@ -1237,6 +1237,32 @@ def q_quality_keeper(spark, sf_dir):
     )
 
 
+def q_incremental_pipeline(spark, sf_dir):
+    """Incremental batch-append dedup (deduplidog_spark/incremental.py):
+    dedupe the even-doc_id half as the base corpus, then append the odd
+    half as an ingest batch against that state. The updated label table
+    must equal what the FULL pipeline run produces over the whole
+    corpus — so the oracle is the label projection of the production
+    dedup_pipeline replay. Exercises base-band probing, cross-batch
+    sha collapse, subgraph connected components and label merge."""
+    from deduplidog_spark.incremental import incremental_dedupe, state_from_result
+
+    docs = _ascii_docs_min_len(_t(spark, sf_dir, "documents"), 5)
+    cfg = DedupConfig(mode="minhash", jaccard_threshold=0.5, sig_est_threshold=0.35)
+    base_raw = _docs_as_files(docs.filter(F.col("doc_id") % 2 == 0))
+    batch_raw = _docs_as_files(docs.filter(F.col("doc_id") % 2 == 1))
+    state = state_from_result(dedupe(base_raw, cfg), base_raw, cfg)
+    res = incremental_dedupe(
+        batch_raw,
+        cfg,
+        state,
+        base_contents=base_raw.select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ),
+    )
+    return res.labels.select("fid", "component")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_counters": q_agg_counters,
@@ -1299,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "vocab_topk": q_vocab_topk,
         "quality_keeper": q_quality_keeper,
+        "incremental_pipeline": q_incremental_pipeline,
     }
 
 
@@ -1960,6 +1987,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_oracle_sql(),
         "substring_pairs": _substring_pairs_oracle_sql(),
         "dedup_pipeline": _dedup_pipeline_oracle_sql(),
+        # incremental append must converge to the full run's labels —
+        # same replay, label projection
+        "incremental_pipeline": (
+            "SELECT fid, component FROM ("
+            + _dedup_pipeline_oracle_sql()
+            + ") q"
+        ),
         "ann_lsh": _ann_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
         # exhaustive O(n²) truth for the MinHash-LSH pipeline: all

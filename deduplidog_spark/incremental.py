@@ -1,0 +1,328 @@
+"""Incremental (batch-append) dedup against checkpointed corpus state.
+
+The operational pattern at 10^12-file scale is NOT re-deduping the
+whole lake per run — it is: dedupe the daily/hourly ingest batch
+against the existing corpus, touching per-batch data plus only the
+slivers of base state the batch actually collides with. This module
+generalizes the reference's resume semantics (skip counter + "✓"
+markers, deduplidog/deduplidog.py:196-197,434-441,465-467) from
+"continue an interrupted scan" to "append a new batch to a finished
+run": the persisted stage tables of a prior `pipeline.dedupe` run
+(files / band table / cc labels, fingerprint-keyed under the
+checkpoint target) ARE the resumable state.
+
+Cost model per batch (B = batch size, N = base size, B << N):
+- signatures are computed for the BATCH only (the Arrow-UDF stage the
+  base corpus already paid for is read back as the band table);
+- the base band table is probed with a BROADCAST semi-join on the
+  batch's bucket keys — a map-side scan of the base, no base shuffle;
+- exact-dup probing broadcasts the batch's distinct shas the same way;
+- connected components run on the TOUCHED subgraph only: new edges
+  plus star edges of base components adjacent to them (components can
+  merge when a batch doc bridges two of them — handled, tested);
+- untouched base labels pass through via an anti-join.
+So per-batch work is O(B) signature compute + O(N) map-side scans with
+no base shuffle — not O(N) shuffles like a full recompute.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deduplidog_spark.config import DedupConfig
+from deduplidog_spark.ingest import ingest
+from deduplidog_spark.operators import minhash as mh
+from deduplidog_spark.operators import simhash as sh
+from deduplidog_spark.operators import substring as ss
+from deduplidog_spark.operators.actions import action_plan, run_metrics
+from deduplidog_spark.operators.cluster import connected_components, elect_keepers
+from deduplidog_spark.operators.verify import verify_candidate_pairs
+
+_BAND_STAGE = {
+    "minhash": "minhash_bands",
+    "simhash": "simhash_bands",
+    "substring": "winnow_bands",
+}
+
+
+@dataclass
+class BaseState:
+    """The prior run's persisted stages (fingerprint-keyed)."""
+
+    files: DataFrame  # slim ingested rows (fid, sha, size, mtime, ...)
+    bands: DataFrame | None  # slim band table (None in exact mode)
+    labels: DataFrame  # (fid, component)
+
+
+@dataclass
+class IncrementalResult:
+    new_files: DataFrame  # the ingested batch (slim, with fid/sha)
+    edges: DataFrame  # NEW verified edges (≥1 batch endpoint each)
+    labels: DataFrame  # full updated label table (base ∪ recomputed)
+    clusters: DataFrame  # keeper assignments for AFFECTED components
+    plan: DataFrame  # action-plan rows for affected components
+    metrics: DataFrame
+    dropped_buckets: DataFrame | None = None
+
+
+def load_state(spark: SparkSession, cfg: DedupConfig) -> BaseState:
+    """Read the prior run's stage tables from the configured checkpoint
+    target. The stage paths embed ``cfg.fingerprint()``, so the state
+    loaded is guaranteed to have been produced under the SAME semantic
+    config — a changed threshold or mode fails fast with a missing
+    path instead of silently mixing incompatible signatures."""
+
+    def rd(stage: str) -> DataFrame:
+        if cfg.checkpoint_table_prefix:
+            return spark.table(
+                f"{cfg.checkpoint_table_prefix}_{stage}_{cfg.fingerprint()}"
+            )
+        if cfg.checkpoint_dir:
+            return spark.read.parquet(
+                cfg.checkpoint_dir.rstrip("/") + "/" + cfg.fingerprint() + "/" + stage
+            )
+        raise ValueError("incremental dedup needs a checkpoint target in cfg")
+
+    bands = rd(_BAND_STAGE[cfg.mode]) if cfg.mode in _BAND_STAGE else None
+    return BaseState(files=rd("files"), bands=bands, labels=rd("cc_labels"))
+
+
+def _slim_bands(files_full: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Mode-specific slim band table for a batch — same columns as the
+    pipeline's checkpointed stage (pipeline.near_dup_edges)."""
+    if cfg.mode == "minhash":
+        sigs = mh.with_band_hashes(mh.with_signatures(files_full, cfg), cfg)
+        return sigs.select("fid", "sha", "size", "n_lines", "band_hashes")
+    if cfg.mode == "simhash":
+        sigs = sh.with_simhash_chunks(sh.with_simhash(files_full, cfg), cfg)
+        return sigs.select("fid", "sha", "size", "n_lines", "band_hashes", "simhash")
+    if cfg.mode == "substring":
+        fps = ss.with_fingerprints(files_full, cfg)
+        return fps.select("fid", "sha", "size", "n_lines", "band_hashes")
+    raise ValueError(f"_slim_bands: unsupported mode {cfg.mode!r}")
+
+
+def _explode(slim: DataFrame, cfg: DedupConfig) -> DataFrame:
+    return (
+        ss.explode_fingerprints(slim)
+        if cfg.mode == "substring"
+        else mh.explode_bands(slim)
+    )
+
+
+def incremental_candidate_pairs(
+    new_rows: DataFrame, base_rows: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs touching ≥1 batch doc. Same grouped expansion
+    and hot-bucket cap as candidates.lsh_candidate_pairs, restricted to
+    buckets where a batch doc lands: the batch's distinct bucket keys
+    BROADCAST against the base band table (left-semi — the base side
+    never shuffles), and base-base pairs inside a bucket are skipped in
+    the expansion (they were already emitted by the base run)."""
+    hot = new_rows.select("band_id", "band_hash").distinct()
+    base_hits = base_rows.join(
+        F.broadcast(hot), ["band_id", "band_hash"], "left_semi"
+    ).select("fid", "band_id", "band_hash").withColumn("is_new", F.lit(False))
+    members = base_hits.unionByName(
+        new_rows.select("fid", "band_id", "band_hash").withColumn(
+            "is_new", F.lit(True)
+        )
+    )
+    counts = members.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+    dropped_report = counts.filter(F.col("bucket_size") > cfg.max_bucket_size)
+    pruned = members.join(
+        F.broadcast(dropped_report.select("band_id", "band_hash")),
+        ["band_id", "band_hash"],
+        "left_anti",
+    )
+    buckets = (
+        pruned.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(F.struct("fid", "is_new")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    combos = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    F.least(x["fid"], y["fid"]).alias("id_a"),
+                    F.greatest(x["fid"], y["fid"]).alias("id_b"),
+                    (x["is_new"] | y["is_new"]).alias("touches_new"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(combos).alias("p"))
+        .filter(F.col("p.touches_new"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs, dropped_report
+
+
+def incremental_exact_edges(
+    new_files: DataFrame, base_files: DataFrame
+) -> DataFrame:
+    """Exact-dup star edges for sha groups the batch touches: the
+    batch's distinct shas broadcast-semi-join the base (map-side), then
+    each member links to the group-min fid. Base-only groups are
+    untouched by construction."""
+    shas = new_files.filter(F.col("sha").isNotNull()).select("sha").distinct()
+    base_members = base_files.filter(F.col("sha").isNotNull()).join(
+        F.broadcast(shas), "sha", "left_semi"
+    ).select("sha", "fid")
+    members = base_members.union(
+        new_files.filter(F.col("sha").isNotNull()).select("sha", "fid")
+    )
+    centers = members.groupBy("sha").agg(F.min("fid").alias("center"))
+    return (
+        members.join(centers, "sha")
+        .filter(F.col("fid") != F.col("center"))
+        .select(F.col("center").alias("id_a"), F.col("fid").alias("id_b"))
+    )
+
+
+def incremental_labels(
+    new_edges: DataFrame, base_labels: DataFrame, max_iterations: int = 20
+) -> tuple[DataFrame, DataFrame]:
+    """(affected_labels, full_updated_labels).
+
+    Components are recomputed only for the subgraph the batch touches:
+    new edges ∪ star edges (member → component) of base components
+    adjacent to a new edge. Component ids stay min-member-fid — an old
+    component's id is its min fid and participates as a node, so two
+    old components merged by a batch bridge converge to the global min
+    exactly as a full recompute would (equivalence is tested)."""
+    touched = (
+        new_edges.select(F.col("id_a").alias("fid"))
+        .union(new_edges.select(F.col("id_b").alias("fid")))
+        .distinct()
+    )
+    touched_comps = (
+        base_labels.join(touched, "fid", "left_semi").select("component").distinct()
+    )
+    members = base_labels.join(F.broadcast(touched_comps), "component", "left_semi")
+    star = members.select(
+        F.col("component").alias("id_a"), F.col("fid").alias("id_b")
+    )
+    sub = connected_components(new_edges.union(star), max_iterations)
+    updated = base_labels.join(sub, "fid", "left_anti").unionByName(sub)
+    return sub, updated
+
+
+def state_from_result(result, base_raw: DataFrame, cfg: DedupConfig) -> BaseState:
+    """Build in-memory state from a completed ``pipeline.dedupe``
+    result when no checkpoint target was configured (tests, notebook
+    runs); production batches use ``load_state`` against the persisted
+    stages instead of recomputing base signatures here."""
+    full = ingest(base_raw, cfg).withColumn("fid", F.concat_ws("/", "repo", "path"))
+    bands = _slim_bands(full, cfg) if cfg.mode in _BAND_STAGE else None
+    return BaseState(
+        files=result.files,
+        bands=bands,
+        labels=result.clusters.select("fid", "component"),
+    )
+
+
+def incremental_dedupe(
+    new_raw: DataFrame,
+    cfg: DedupConfig,
+    state: BaseState,
+    base_contents: DataFrame | None = None,
+) -> IncrementalResult:
+    """Dedupe an ingest batch against a prior run's state.
+
+    ``base_contents`` (fid, content) — typically the base scan with
+    fid derived — is required when ``cfg.exact_verify`` in an LSH mode,
+    because new-vs-base survivors re-read base content there (the small
+    surviving pair-id set broadcasts against it; base content still
+    never crosses a shuffle).
+    """
+    new_full = ingest(new_raw, cfg).withColumn(
+        "fid", F.concat_ws("/", "repo", "path")
+    )
+    slim_cols = [c for c in new_full.columns if c != "content"]
+    new_files = new_full.select(*slim_cols).localCheckpoint()
+
+    exact = incremental_exact_edges(new_files, state.files)
+    dropped = None
+    if cfg.mode == "exact":
+        edges = exact
+    elif cfg.mode in _BAND_STAGE:
+        if cfg.exact_verify and base_contents is None:
+            raise ValueError(
+                "exact_verify needs base_contents (fid, content) for "
+                "new-vs-base pairs; pass the base scan or set "
+                "exact_verify=False"
+            )
+        new_slim = _slim_bands(new_full, cfg).localCheckpoint()
+        # sha-collapse within the batch AND against the base: batch
+        # copies of content the base already carries ride the exact
+        # star edges; only genuinely new content enters LSH
+        seen = state.files.filter(F.col("sha").isNotNull()).select("sha").distinct()
+        fresh = new_slim.join(F.broadcast(seen), "sha", "left_anti")
+        winners = fresh.groupBy("sha").agg(F.min("fid").alias("fid"))
+        reps = fresh.join(winners, "fid", "left_semi")
+        pairs, dropped = incremental_candidate_pairs(
+            _explode(reps, cfg), _explode(state.bands, cfg), cfg
+        )
+        union_slim = state.bands.unionByName(new_slim)
+        if cfg.mode == "simhash":
+            ha = union_slim.select(F.col("fid").alias("id_a"), F.col("simhash").alias("sh_a"))
+            hb = union_slim.select(F.col("fid").alias("id_b"), F.col("simhash").alias("sh_b"))
+            pairs = (
+                pairs.join(ha, "id_a")
+                .join(hb, "id_b")
+                .filter(
+                    sh.hamming_distance(F.col("sh_a"), F.col("sh_b"))
+                    <= cfg.simhash_max_hamming
+                )
+                .select("id_a", "id_b")
+            )
+        contents = (
+            new_full.select("fid", "content")
+            if base_contents is None
+            else base_contents.select("fid", "content").unionByName(
+                new_full.select("fid", "content")
+            )
+        )
+        near = verify_candidate_pairs(pairs, union_slim, cfg, contents=contents)
+        edges = near.select("id_a", "id_b").union(exact).dropDuplicates(["id_a", "id_b"])
+    else:
+        raise ValueError(f"incremental_dedupe: unsupported mode {cfg.mode!r}")
+
+    edges = edges.localCheckpoint()
+    affected, updated = incremental_labels(edges, state.labels, cfg.cc_max_iterations)
+    files_union = state.files.unionByName(new_files)
+    clusters = elect_keepers(files_union, affected, cfg)
+    plan = action_plan(clusters, cfg)
+    metrics = run_metrics(plan, new_files)
+    return IncrementalResult(
+        new_files, edges, updated, clusters, plan, metrics, dropped
+    )
+
+
+def merged_state(result: IncrementalResult, state: BaseState, cfg: DedupConfig,
+                 new_raw: DataFrame | None = None) -> BaseState:
+    """The next snapshot's base state (caller writes it to the NEXT
+    checkpoint location — never overwrite the state being read):
+    files ∪ batch, bands ∪ batch bands, updated labels."""
+    bands = state.bands
+    if bands is not None and new_raw is not None:
+        new_full = ingest(new_raw, cfg).withColumn(
+            "fid", F.concat_ws("/", "repo", "path")
+        )
+        bands = bands.unionByName(_slim_bands(new_full, cfg))
+    return BaseState(
+        files=state.files.unionByName(result.new_files),
+        bands=bands,
+        labels=result.labels,
+    )

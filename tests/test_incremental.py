@@ -1,0 +1,157 @@
+"""Incremental batch-append dedup (deduplidog_spark/incremental.py).
+
+The headline assertion: incrementally appending a batch to a
+checkpointed base run yields EXACTLY the labels a full recompute over
+base ∪ batch produces — including the hard case where one batch doc
+bridges (merges) two previously separate base components.
+"""
+
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplidog_spark.config import DedupConfig
+from deduplidog_spark.incremental import (
+    incremental_dedupe,
+    load_state,
+    merged_state,
+)
+from deduplidog_spark.pipeline import dedupe
+
+T0 = datetime(2024, 1, 1)
+SCHEMA = (
+    "repo string, path string, commit string, lang string, "
+    "content string, mtime timestamp"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(r, p, "c0", "py", c, T0) for r, p, c in rows], SCHEMA
+    )
+
+
+def _words(prefix, n):
+    # letters-only ids: digit suffixes would create cross-vocabulary
+    # char-shingle overlap ("a001 b" ≈ "x001 y") and false similarity
+    return " ".join(
+        f"{prefix}{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}" for i in range(n)
+    )
+
+
+def _cfg(tmp, **kw):
+    base = dict(
+        mode="minhash",
+        num_perm=128,
+        lsh_bands=64,
+        jaccard_threshold=0.25,
+        sig_est_threshold=0.05,
+        size_ratio_prefilter=0.4,
+        checkpoint_dir=tmp,
+    )
+    base.update(kw)
+    return DedupConfig(**base)
+
+
+A = _words("alpha", 40)
+B = _words("beta", 40)
+C = _words("gamma", 40)
+BASE_ROWS = [
+    ("base", "a1.py", A),
+    ("base", "a2.py", A + " alphatailxx alphatailyy"),  # near-dup of a1
+    ("base", "b1.py", B),
+    ("base", "b2.py", B + " betatailxx betatailyy"),  # near-dup of b1
+    ("base", "c1.py", C),  # unclustered singleton
+    ("base", "d1.py", "zeta " * 30),
+    ("base", "d2.py", "zeta " * 30),  # exact dup of d1
+]
+# the batch: an exact copy of c1, a near-dup of c1, a NEW pair, and a
+# BRIDGE doc overlapping both the A and B clusters (forces a merge)
+BATCH_ROWS = [
+    ("batch", "x1.py", C),
+    ("batch", "x2.py", C + " gammatailxx gammatailyy"),
+    ("batch", "y1.py", _words("delta", 40)),
+    ("batch", "y2.py", _words("delta", 40) + " deltatailxx"),
+    ("batch", "bridge.py", " ".join(A.split()[:20]) + " " + " ".join(B.split()[:20])),
+    ("batch", "lone.py", _words("omega", 40)),
+]
+
+
+@pytest.fixture(scope="module")
+def incr_run(spark):
+    tmp = tempfile.mkdtemp(prefix="incr_")
+    cfg = _cfg(tmp)
+    base_raw = _df(spark, BASE_ROWS)
+    dedupe(base_raw, cfg)  # persists files / bands / labels stages
+    state = load_state(spark, cfg)
+    batch_raw = _df(spark, BATCH_ROWS)
+    res = incremental_dedupe(
+        batch_raw,
+        cfg,
+        state,
+        base_contents=base_raw.select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ),
+    )
+    full = dedupe(
+        base_raw.unionByName(batch_raw), _cfg(tempfile.mkdtemp(prefix="full_"))
+    )
+    return cfg, state, res, full, batch_raw
+
+
+def test_incremental_labels_equal_full_recompute(spark, incr_run):
+    _, _, res, full, _ = incr_run
+    inc = {r.fid: r.component for r in res.labels.collect()}
+    ful = {r.fid: r.component for r in full.clusters.select("fid", "component").collect()}
+    assert inc == ful
+
+
+def test_bridge_merges_base_components(spark, incr_run):
+    _, _, res, _, _ = incr_run
+    lab = {r.fid: r.component for r in res.labels.collect()}
+    # merge: a-cluster, b-cluster and the bridge share one component
+    assert lab["base/a1.py"] == lab["base/b1.py"] == lab["batch/bridge.py"]
+    # exact+near attach to the previously unclustered c1
+    assert lab["base/c1.py"] == lab["batch/x1.py"] == lab["batch/x2.py"]
+    # new-new pair clusters on its own
+    assert lab["batch/y1.py"] == lab["batch/y2.py"]
+    assert lab["batch/y1.py"] != lab["base/a1.py"]
+    # the unique batch doc stays unclustered
+    assert "batch/lone.py" not in lab
+
+
+def test_affected_clusters_have_one_keeper_each(spark, incr_run):
+    _, _, res, _, _ = incr_run
+    agg = (
+        res.clusters.groupBy("component")
+        .agg(F.sum(F.col("is_keeper").cast("int")).alias("k"))
+        .collect()
+    )
+    assert agg and all(r.k == 1 for r in agg)
+    # untouched base cluster (d1/d2) is NOT re-elected
+    comps = {r.component for r in res.clusters.select("component").collect()}
+    assert "base/d1.py" not in comps
+
+
+def test_merged_state_roundtrip(spark, incr_run):
+    cfg, state, res, full, batch_raw = incr_run
+    nxt = merged_state(res, state, cfg, new_raw=batch_raw)
+    assert nxt.files.count() == state.files.count() + res.new_files.count()
+    assert nxt.bands.count() == state.bands.count() + res.new_files.count()
+    inc = {r.fid: r.component for r in nxt.labels.collect()}
+    ful = {r.fid: r.component for r in full.clusters.select("fid", "component").collect()}
+    assert inc == ful
+
+
+def test_incremental_exact_mode(spark):
+    tmp = tempfile.mkdtemp(prefix="incr_ex_")
+    cfg = DedupConfig(mode="exact", checkpoint_dir=tmp)
+    base_raw = _df(spark, [("base", "d1.py", "same"), ("base", "d2.py", "same"),
+                           ("base", "u1.py", "unique")])
+    dedupe(base_raw, cfg)
+    state = load_state(spark, cfg)
+    res = incremental_dedupe(_df(spark, [("batch", "d3.py", "same")]), cfg, state)
+    lab = {r.fid: r.component for r in res.labels.collect()}
+    assert lab["batch/d3.py"] == lab["base/d1.py"] == lab["base/d2.py"]
