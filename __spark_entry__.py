@@ -744,15 +744,27 @@ def q_media_phash_pairs(spark, sf_dir):
 
 
 def q_media_near_pairs(spark, sf_dir):
-    """Perceptual-hash near-dup pairs over media features (rows-only)."""
+    """Perceptual-hash near-dup pairs at the PRODUCTION hamming radius
+    (8 > the pigeonhole-exhaustive bound of 3 for 4×16-bit chunks), so
+    the oracle replays the actual chunk-join TOPOLOGY — share ≥1 chunk
+    AND Hamming ≤ 8 — not a plain threshold join. Quarantine is
+    exercised with a deterministic plant (doc_id % 37 → empty payload
+    → NULL phash), which the P2 path must exclude from the join."""
     from deduplidog_spark.operators.multimodal import (
         extract_media_features,
         near_dup_media_pairs,
-        synthesize_media,
     )
 
     _ensure_pkg(spark)
-    feats = extract_media_features(synthesize_media(spark, n=96))
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.when(F.col("doc_id") % 37 == 0, F.encode(F.lit(""), "utf-8"))
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    feats = extract_media_features(media)
     return near_dup_media_pairs(feats, max_hamming=8)
 
 
@@ -1979,6 +1991,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.media_id AS id_a, b.media_id AS id_b
             FROM ph a JOIN ph b ON b.media_id > a.media_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        # production radius (8): replay the chunk-join topology itself —
+        # shared 16-bit chunk AND Hamming <= 8 — over non-quarantined
+        # rows (the % 37 plant has NULL phash on the Spark side)
+        "media_near_pairs": _MEDIA_PHASH_CTE + """
+            , uns AS (
+                SELECT media_id, phash,
+                       CAST(CASE WHEN phash < 0
+                                 THEN CAST(phash AS HUGEINT)
+                                      + 18446744073709551616
+                                 ELSE CAST(phash AS HUGEINT) END
+                            AS HUGEINT) AS uv
+                FROM ph WHERE media_id % 37 != 0),
+            ck AS (
+                SELECT media_id, phash,
+                       CAST(uv % 65536 AS BIGINT) AS c0,
+                       CAST((uv // 65536) % 65536 AS BIGINT) AS c1,
+                       CAST((uv // 4294967296) % 65536 AS BIGINT) AS c2,
+                       CAST((uv // 281474976710656) % 65536 AS BIGINT) AS c3
+                FROM uns)
+            SELECT a.media_id AS id_a, b.media_id AS id_b
+            FROM ck a JOIN ck b ON b.media_id > a.media_id
+            WHERE (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+              AND bit_count(xor(a.phash, b.phash)) <= 8
         """,
         # u64 rolling-hash kernel replicas (see _u64_hash_cte): the
         # Arrow-UDF signature stages value-checked against pure SQL

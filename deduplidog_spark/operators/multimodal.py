@@ -138,7 +138,15 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
                 out["phash"].append(ph)
                 out["feature"].append(feat)
                 out["quarantined"].append(bad)
-            yield pd.DataFrame(out)
+            # phash must stay object-dtyped: a single None (quarantined
+            # row) would coerce the column to float64 and silently
+            # corrupt every 64-bit hash above 2^53 in the batch
+            yield pd.DataFrame(
+                {
+                    k: (pd.Series(v, dtype="object") if k == "phash" else v)
+                    for k, v in out.items()
+                }
+            )
 
     return media.mapInPandas(feats, FEATURE_SCHEMA)
 

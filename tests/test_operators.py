@@ -190,6 +190,18 @@ def test_multimodal_feature_plumbing(spark):
     near_dup_media_pairs(feats).count()
 
 
+def test_phash_exact_with_quarantined_rows_in_batch(spark):
+    """Regression: a None phash (quarantined row) in the same Arrow
+    batch must NOT coerce the pandas column to float64 — that silently
+    rounds every 64-bit hash above 2^53. The same payload must hash
+    identically whether or not a quarantined row shares its batch."""
+    media = synthesize_media(spark, n=32).coalesce(1)  # one batch
+    clean = media.filter(F.length("payload") > 0)
+    with_bad = {r.media_id: r.phash for r in extract_media_features(media).collect()}
+    alone = {r.media_id: r.phash for r in extract_media_features(clean).collect()}
+    assert all(with_bad[k] == v for k, v in alone.items())
+
+
 def test_sidecar_time_sets_exists_predicate(spark):
     """V6 EXIF-set semantics: a file with SEVERAL aux timestamps matches
     when ANY of them is within the band (reference helpers.py:32-41,
