@@ -2,13 +2,21 @@
 
 Usage (via scripts/submit.sh):
     spark-submit --py-files deduplidog_spark.zip scripts/run_dedupe.py \
-        <corpus_location> <checkpoint_target> [mode] [jaccard_threshold]
+        <corpus_location> <checkpoint_target> [mode] [jaccard_threshold] \
+        [--append <batch_location>]
 
 ``checkpoint_target`` is either a path (parquet stage dirs) or
 ``table:<catalog.db.prefix>[:format]`` for catalog-table stage
 checkpoints — e.g. ``table:lake.db.run1:iceberg`` on a cluster with
 the Iceberg runtime (north_rule), or ``table:run1`` for the session
 catalog's default format.
+
+``--append <batch_location>``: incremental mode — dedupe the batch
+against the state a PRIOR run persisted under the same checkpoint
+target and config (deduplidog_spark/incremental.py: batch-only
+signatures, broadcast probing of the base band table, subgraph
+connected components). Writes the batch plan and the UPDATED label
+table under ``<checkpoint>/<fingerprint>/append/``.
 """
 
 from __future__ import annotations
@@ -16,18 +24,26 @@ from __future__ import annotations
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from deduplidog_spark.config import DedupConfig
+from deduplidog_spark.incremental import incremental_dedupe, load_state
 from deduplidog_spark.metrics import lineage_report, lineage_report_table
 from deduplidog_spark.pipeline import dedupe
 from deduplidog_spark.sources.readers import read_corpus
 
 
 def main() -> None:
-    corpus_loc = sys.argv[1]
-    ckpt = sys.argv[2]
-    mode = sys.argv[3] if len(sys.argv) > 3 else "minhash"
-    tau = float(sys.argv[4]) if len(sys.argv) > 4 else 0.7
+    argv = list(sys.argv[1:])
+    batch_loc = None
+    if "--append" in argv:
+        i = argv.index("--append")
+        batch_loc = argv[i + 1]
+        del argv[i : i + 2]
+    corpus_loc = argv[0]
+    ckpt = argv[1]
+    mode = argv[2] if len(argv) > 2 else "minhash"
+    tau = float(argv[3]) if len(argv) > 3 else 0.7
 
     spark = SparkSession.builder.appName("deduplidog-spark").getOrCreate()
     common = dict(mode=mode, shingle_k=9, jaccard_threshold=tau)
@@ -40,6 +56,35 @@ def main() -> None:
         )
     else:
         cfg = DedupConfig(checkpoint_dir=ckpt, **common)
+
+    if batch_loc is not None:
+        state = load_state(spark, cfg)
+        base = read_corpus(spark, corpus_loc)
+        res = incremental_dedupe(
+            read_corpus(spark, batch_loc),
+            cfg,
+            state,
+            base_contents=base.select(
+                F.concat_ws("/", "repo", "path").alias("fid"), "content"
+            ),
+        )
+        res.metrics.show(truncate=False)
+        if cfg.checkpoint_table_prefix:
+            fp = cfg.fingerprint()
+            res.plan.write.format(cfg.checkpoint_format).mode("overwrite").saveAsTable(
+                f"{cfg.checkpoint_table_prefix}_append_plan_{fp}"
+            )
+            res.labels.write.format(cfg.checkpoint_format).mode("overwrite").saveAsTable(
+                f"{cfg.checkpoint_table_prefix}_append_labels_{fp}"
+            )
+            print(f"append plan/labels in tables {cfg.checkpoint_table_prefix}_append_*_{fp}")
+        else:
+            out = f"{ckpt.rstrip('/')}/{cfg.fingerprint()}/append"
+            res.plan.write.mode("overwrite").parquet(f"{out}/plan")
+            res.labels.write.mode("overwrite").parquet(f"{out}/labels")
+            print(f"append plan + updated labels written to {out}")
+        return
+
     res = dedupe(read_corpus(spark, corpus_loc), cfg)
     res.metrics.show(truncate=False)
     if cfg.checkpoint_table_prefix:

@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
 # Cluster launch (north_rule: spark-submit --py-files, multi-executor).
 #
-# Usage: scripts/submit.sh <corpus_location> <checkpoint_dir> [extra spark-submit args...]
+# Usage: scripts/submit.sh <corpus_location> <checkpoint_dir> \
+#            [app args: mode tau | --append <batch_location>]
+# Extra spark-submit flags (master, executor sizing) go in $SUBMIT_FLAGS.
 #
 # Packages the engine as a zip and submits the dedup job. On a real
 # cluster pass --master yarn/k8s and executor sizing; shuffle
@@ -24,5 +26,5 @@ exec spark-submit \
   --conf spark.sql.adaptive.advisoryPartitionSizeInBytes=8m \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.sql.session.timeZone=UTC \
-  "$@" \
-  "$REPO_DIR/scripts/run_dedupe.py" "$CORPUS" "$CKPT"
+  ${SUBMIT_FLAGS:-} \
+  "$REPO_DIR/scripts/run_dedupe.py" "$CORPUS" "$CKPT" "$@"
