@@ -181,6 +181,9 @@ def main() -> None:
         "cosine_topk",
         "minhash_pairs",
         "dedup_pipeline",
+        "incremental_pipeline",
+        "passage_dedup",
+        "decontaminate",
         "token_count",
         "quality",
     ):

@@ -145,6 +145,51 @@ def test_merged_state_roundtrip(spark, incr_run):
     assert inc == ful
 
 
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_incremental_equals_full_on_random_corpus(spark, seed):
+    """Randomized topology sweep: random word-soup docs with planted
+    copies/near-dups, split randomly into base and batch — incremental
+    labels must equal the full recompute for every draw."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{chr(97 + i)}{chr(97 + j)}" for i in range(12) for j in range(12)]
+    docs = []
+    for i in range(36):
+        if i % 5 == 3 and docs:  # near-dup of an earlier doc
+            base_words = docs[rng.randint(len(docs))][1].split()
+            words = list(base_words)
+            for _ in range(2):
+                words[rng.randint(len(words))] = vocab[rng.randint(len(vocab))]
+        elif i % 7 == 5 and docs:  # exact copy
+            words = docs[rng.randint(len(docs))][1].split()
+        else:
+            words = [vocab[rng.randint(len(vocab))] for _ in range(30)]
+        docs.append((i, " ".join(words)))
+    split = rng.rand(len(docs)) < 0.6
+    base_rows = [("r", f"f{i:02d}.py", t) for (i, t), b in zip(docs, split) if b]
+    batch_rows = [("r", f"f{i:02d}.py", t) for (i, t), b in zip(docs, split) if not b]
+    if not base_rows or not batch_rows:
+        pytest.skip("degenerate split")
+    tmp = tempfile.mkdtemp(prefix=f"incr_r{seed}_")
+    cfg = _cfg(tmp)
+    base_raw, batch_raw = _df(spark, base_rows), _df(spark, batch_rows)
+    dedupe(base_raw, cfg)
+    state = load_state(spark, cfg)
+    res = incremental_dedupe(
+        batch_raw, cfg, state,
+        base_contents=base_raw.select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ),
+    )
+    full = dedupe(
+        base_raw.unionByName(batch_raw), _cfg(tempfile.mkdtemp(prefix="fullr_"))
+    )
+    inc = {r.fid: r.component for r in res.labels.collect()}
+    ful = {r.fid: r.component for r in full.clusters.select("fid", "component").collect()}
+    assert inc == ful
+
+
 def test_incremental_exact_mode(spark):
     tmp = tempfile.mkdtemp(prefix="incr_ex_")
     cfg = DedupConfig(mode="exact", checkpoint_dir=tmp)
