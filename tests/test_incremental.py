@@ -190,6 +190,55 @@ def test_incremental_equals_full_on_random_corpus(spark, seed):
     assert inc == ful
 
 
+def test_incremental_empty_and_quarantined_batch(spark):
+    """Edge cases: an all-new batch with no collisions leaves base
+    labels untouched; quarantined (NULL-content) batch rows never
+    match anything."""
+    tmp = tempfile.mkdtemp(prefix="incr_edge_")
+    cfg = _cfg(tmp)
+    base_raw = _df(spark, BASE_ROWS)
+    dedupe(base_raw, cfg)
+    state = load_state(spark, cfg)
+    batch = spark.createDataFrame(
+        [
+            ("batch", "solo.py", "c0", "py", _words("kappa", 40), T0),
+            ("batch", "broken.py", "c0", "py", None, T0),
+        ],
+        SCHEMA,
+    )
+    res = incremental_dedupe(
+        batch, cfg, state,
+        base_contents=base_raw.select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ),
+    )
+    base_labels = {(r.fid, r.component) for r in state.labels.collect()}
+    upd = {(r.fid, r.component) for r in res.labels.collect()}
+    assert upd == base_labels  # nothing touched, nothing lost
+    assert res.edges.count() == 0
+    fids = {r.fid for r in res.new_files.collect()}
+    assert "batch/broken.py" in fids  # quarantined row carried, flagged
+
+
+def test_incremental_exact_copy_joins_near_cluster(spark):
+    """A batch doc byte-identical to a base member of a NEAR-dup
+    cluster must land in that cluster through the exact star edge."""
+    tmp = tempfile.mkdtemp(prefix="incr_excopy_")
+    cfg = _cfg(tmp)
+    base_raw = _df(spark, BASE_ROWS)
+    dedupe(base_raw, cfg)
+    state = load_state(spark, cfg)
+    batch = _df(spark, [("batch", "copy_a2.py", BASE_ROWS[1][2])])  # == a2.py
+    res = incremental_dedupe(
+        batch, cfg, state,
+        base_contents=base_raw.select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ),
+    )
+    lab = {r.fid: r.component for r in res.labels.collect()}
+    assert lab["batch/copy_a2.py"] == lab["base/a1.py"] == lab["base/a2.py"]
+
+
 def test_incremental_exact_mode(spark):
     tmp = tempfile.mkdtemp(prefix="incr_ex_")
     cfg = DedupConfig(mode="exact", checkpoint_dir=tmp)
