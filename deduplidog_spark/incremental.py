@@ -66,6 +66,7 @@ class IncrementalResult:
     plan: DataFrame  # action-plan rows for affected components
     metrics: DataFrame
     dropped_buckets: DataFrame | None = None
+    new_bands: DataFrame | None = None  # batch slim band table (reused by merged_state)
 
 
 def load_state(spark: SparkSession, cfg: DedupConfig) -> BaseState:
@@ -254,6 +255,7 @@ def incremental_dedupe(
 
     exact = incremental_exact_edges(new_files, state.files)
     dropped = None
+    new_slim = None
     if cfg.mode == "exact":
         edges = exact
     elif cfg.mode in _BAND_STAGE:
@@ -271,22 +273,20 @@ def incremental_dedupe(
         fresh = new_slim.join(F.broadcast(seen), "sha", "left_anti")
         winners = fresh.groupBy("sha").agg(F.min("fid").alias("fid"))
         reps = fresh.join(winners, "fid", "left_semi")
+        # the BASE side must be sha-collapsed too, exactly like
+        # near_dup_edges does before banding: byte-identical base copies
+        # share every band hash, so an uncollapsed boilerplate group
+        # would both inflate bucket counts past max_bucket_size
+        # (dropping buckets the full run keeps — breaking label
+        # equivalence) and emit one candidate pair per copy
+        base_winners = state.bands.groupBy("sha").agg(F.min("fid").alias("fid"))
+        base_reps = state.bands.join(base_winners, "fid", "left_semi")
         pairs, dropped = incremental_candidate_pairs(
-            _explode(reps, cfg), _explode(state.bands, cfg), cfg
+            _explode(reps, cfg), _explode(base_reps, cfg), cfg
         )
         union_slim = state.bands.unionByName(new_slim)
         if cfg.mode == "simhash":
-            ha = union_slim.select(F.col("fid").alias("id_a"), F.col("simhash").alias("sh_a"))
-            hb = union_slim.select(F.col("fid").alias("id_b"), F.col("simhash").alias("sh_b"))
-            pairs = (
-                pairs.join(ha, "id_a")
-                .join(hb, "id_b")
-                .filter(
-                    sh.hamming_distance(F.col("sh_a"), F.col("sh_b"))
-                    <= cfg.simhash_max_hamming
-                )
-                .select("id_a", "id_b")
-            )
+            pairs = sh.hamming_filter(pairs, union_slim, cfg)
         contents = (
             new_full.select("fid", "content")
             if base_contents is None
@@ -304,9 +304,13 @@ def incremental_dedupe(
     files_union = state.files.unionByName(new_files)
     clusters = elect_keepers(files_union, affected, cfg)
     plan = action_plan(clusters, cfg)
-    metrics = run_metrics(plan, new_files)
+    # metrics must see every file the plan can reference — affected
+    # components span base members too (a batch bridge re-elects
+    # keepers among base files), and run_metrics inner-joins on fid
+    metrics = run_metrics(plan, files_union)
     return IncrementalResult(
-        new_files, edges, updated, clusters, plan, metrics, dropped
+        new_files, edges, updated, clusters, plan, metrics, dropped,
+        new_bands=new_slim,
     )
 
 
@@ -314,15 +318,36 @@ def merged_state(result: IncrementalResult, state: BaseState, cfg: DedupConfig,
                  new_raw: DataFrame | None = None) -> BaseState:
     """The next snapshot's base state (caller writes it to the NEXT
     checkpoint location — never overwrite the state being read):
-    files ∪ batch, bands ∪ batch bands, updated labels."""
+    files ∪ batch, bands ∪ batch bands, updated labels. The batch band
+    table computed (and localCheckpointed) by ``incremental_dedupe``
+    is reused — the Arrow signature stage is never paid twice;
+    ``new_raw`` is only consulted as a fallback for results produced
+    before ``new_bands`` existed."""
     bands = state.bands
-    if bands is not None and new_raw is not None:
-        new_full = ingest(new_raw, cfg).withColumn(
-            "fid", F.concat_ws("/", "repo", "path")
-        )
-        bands = bands.unionByName(_slim_bands(new_full, cfg))
+    if bands is not None:
+        if result.new_bands is not None:
+            bands = bands.unionByName(result.new_bands)
+        elif new_raw is not None:
+            new_full = ingest(new_raw, cfg).withColumn(
+                "fid", F.concat_ws("/", "repo", "path")
+            )
+            bands = bands.unionByName(_slim_bands(new_full, cfg))
     return BaseState(
         files=state.files.unionByName(result.new_files),
         bands=bands,
         labels=result.labels,
     )
+
+
+def write_state(spark: SparkSession, state: BaseState, cfg: DedupConfig,
+                checkpoint_dir: str) -> None:
+    """Persist a (merged) state as the stage layout ``load_state``
+    reads, under a NEW checkpoint_dir — chaining daily appends:
+    run N loads from dir N-1 and writes dir N."""
+    out = checkpoint_dir.rstrip("/") + "/" + cfg.fingerprint()
+    state.files.write.mode("overwrite").parquet(out + "/files")
+    if state.bands is not None and cfg.mode in _BAND_STAGE:
+        state.bands.write.mode("overwrite").parquet(
+            out + "/" + _BAND_STAGE[cfg.mode]
+        )
+    state.labels.write.mode("overwrite").parquet(out + "/cc_labels")

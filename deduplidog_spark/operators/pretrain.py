@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import content_fingerprint, quality_score
+from .textstats import content_fingerprint, quality_score, token_count
 
 
 def words_of(text: Column) -> Column:
@@ -157,9 +157,11 @@ def repetition_stats(
     Returns (id, n_words, dup_word_fraction, dup_2gram_fraction),
     fractions rounded to 6 places for cross-engine comparability.
     """
-    t = F.col(text_col)
+    # NULL-safe: without the coalesce, size(split(NULL)) is -1 under
+    # Spark's default sizeOfNull and the row would report n_words=-1
+    t = F.coalesce(F.col(text_col), F.lit(""))
     w = words_of(t)
-    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(w))
+    n_words = token_count(t)
     n_distinct = F.size(F.array_distinct(w))
     g2 = word_grams(t, 2, distinct=False)
     n_g2 = F.size(g2)

@@ -70,3 +70,20 @@ def with_simhash_chunks(df: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def hamming_distance(a, b) -> "F.Column":
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def hamming_filter(pairs: DataFrame, slim: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """V4 verify: keep candidate pairs whose simhashes are within
+    ``cfg.simhash_max_hamming``. Shared by the full pipeline and the
+    incremental append path so the verify semantics cannot diverge."""
+    ha = slim.select(F.col("fid").alias("id_a"), F.col("simhash").alias("sh_a"))
+    hb = slim.select(F.col("fid").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(
+            hamming_distance(F.col("sh_a"), F.col("sh_b"))
+            <= cfg.simhash_max_hamming
+        )
+        .select("id_a", "id_b")
+    )

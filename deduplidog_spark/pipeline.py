@@ -161,17 +161,7 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
         band_rows = mh.explode_bands(reps)
         pairs, dropped = lsh_candidate_pairs(band_rows, cfg, materialize=_mat)
         # verify by Hamming distance (V4 analog), then optional exact Jaccard
-        ha = slim.select(F.col("fid").alias("id_a"), F.col("simhash").alias("sh_a"))
-        hb = slim.select(F.col("fid").alias("id_b"), F.col("simhash").alias("sh_b"))
-        pairs = (
-            pairs.join(ha, "id_a")
-            .join(hb, "id_b")
-            .filter(
-                sh.hamming_distance(F.col("sh_a"), F.col("sh_b"))
-                <= cfg.simhash_max_hamming
-            )
-            .select("id_a", "id_b")
-        )
+        pairs = sh.hamming_filter(pairs, slim, cfg)
         verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)
     elif cfg.mode == "substring":
         fps = ss.with_fingerprints(files, cfg)

@@ -16,7 +16,10 @@ against the state a PRIOR run persisted under the same checkpoint
 target and config (deduplidog_spark/incremental.py: batch-only
 signatures, broadcast probing of the base band table, subgraph
 connected components). Writes the batch plan and the UPDATED label
-table under ``<checkpoint>/<fingerprint>/append/``.
+table under ``<checkpoint>/<fingerprint>/append/`` AND rolls the base
+state forward (files ∪ batch, bands ∪ batch bands, merged labels) to
+``--state-out`` (default ``<checkpoint>_next``) so the NEXT append
+run chains: point its <checkpoint_target> at that directory.
 """
 
 from __future__ import annotations
@@ -27,19 +30,37 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from deduplidog_spark.config import DedupConfig
-from deduplidog_spark.incremental import incremental_dedupe, load_state
+from deduplidog_spark.incremental import (
+    incremental_dedupe,
+    load_state,
+    merged_state,
+    write_state,
+)
 from deduplidog_spark.metrics import lineage_report, lineage_report_table
 from deduplidog_spark.pipeline import dedupe
 from deduplidog_spark.sources.readers import read_corpus
 
 
+def _take_flag(argv: list[str], flag: str) -> str | None:
+    if flag not in argv:
+        return None
+    i = argv.index(flag)
+    if i + 1 >= len(argv):
+        sys.exit(f"usage: {flag} <value>")
+    val = argv[i + 1]
+    del argv[i : i + 2]
+    return val
+
+
 def main() -> None:
     argv = list(sys.argv[1:])
-    batch_loc = None
-    if "--append" in argv:
-        i = argv.index("--append")
-        batch_loc = argv[i + 1]
-        del argv[i : i + 2]
+    batch_loc = _take_flag(argv, "--append")
+    state_out = _take_flag(argv, "--state-out")
+    if len(argv) < 2:
+        sys.exit(
+            "usage: run_dedupe.py <corpus_location> <checkpoint_target> "
+            "[mode] [tau] [--append <batch_location> [--state-out <dir>]]"
+        )
     corpus_loc = argv[0]
     ckpt = argv[1]
     mode = argv[2] if len(argv) > 2 else "minhash"
@@ -83,6 +104,17 @@ def main() -> None:
             res.plan.write.mode("overwrite").parquet(f"{out}/plan")
             res.labels.write.mode("overwrite").parquet(f"{out}/labels")
             print(f"append plan + updated labels written to {out}")
+        # roll the state forward so appends CHAIN: without this, a
+        # second --append against the same target would dedupe against
+        # the ORIGINAL base only and miss batch-vs-batch duplicates
+        nxt = state_out or (ckpt.rstrip("/") + "_next")
+        if nxt.startswith("table:"):
+            sys.exit("--state-out must be a path (parquet state layout)")
+        write_state(spark, merged_state(res, state, cfg), cfg, nxt)
+        print(
+            f"state rolled forward to {nxt} — pass it as the checkpoint "
+            "target of the next --append run"
+        )
         return
 
     res = dedupe(read_corpus(spark, corpus_loc), cfg)

@@ -135,6 +135,40 @@ def test_affected_clusters_have_one_keeper_each(spark, incr_run):
     assert "base/d1.py" not in comps
 
 
+def test_chained_appends_catch_batch_vs_batch_duplicates(spark):
+    """Day-2 semantics: after rolling state forward with write_state,
+    a second batch that duplicates a DAY-1 batch doc must cluster with
+    it — this is exactly what breaks if appends don't chain state."""
+    from deduplidog_spark.incremental import merged_state, write_state
+
+    tmp = tempfile.mkdtemp(prefix="incr_chain_")
+    cfg = _cfg(tmp)
+    base_raw = _df(spark, [("base", "z.py", _words("zulu", 40))])
+    dedupe(base_raw, cfg)
+    state1 = load_state(spark, cfg)
+    day1_text = _words("hotel", 40)
+    day1 = _df(spark, [("d1", "h.py", day1_text)])
+    res1 = incremental_dedupe(
+        day1, cfg, state1,
+        base_contents=base_raw.select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ),
+    )
+    nxt_dir = tmp + "_next"
+    write_state(spark, merged_state(res1, state1, cfg), cfg, nxt_dir)
+    cfg2 = cfg.with_(checkpoint_dir=nxt_dir)
+    state2 = load_state(spark, cfg2)
+    day2 = _df(spark, [("d2", "copy_h.py", day1_text)])
+    res2 = incremental_dedupe(
+        day2, cfg2, state2,
+        base_contents=day1.select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ),
+    )
+    lab = {r.fid: r.component for r in res2.labels.collect()}
+    assert lab["d2/copy_h.py"] == lab["d1/h.py"]
+
+
 def test_merged_state_roundtrip(spark, incr_run):
     cfg, state, res, full, batch_raw = incr_run
     nxt = merged_state(res, state, cfg, new_raw=batch_raw)
@@ -237,6 +271,33 @@ def test_incremental_exact_copy_joins_near_cluster(spark):
     )
     lab = {r.fid: r.component for r in res.labels.collect()}
     assert lab["batch/copy_a2.py"] == lab["base/a1.py"] == lab["base/a2.py"]
+
+
+def test_skewed_identical_base_group_still_pairs_with_batch(spark):
+    """Skew regression: 250 byte-identical base copies of a boilerplate
+    doc exceed max_bucket_size (200) if the base band table is probed
+    UNCOLLAPSED — every copy shares every band hash, the bucket gets
+    dropped, and a batch near-dup of the boilerplate silently never
+    pairs. The incremental path must sha-collapse the base side to one
+    representative per content exactly like the full pipeline does."""
+    tmp = tempfile.mkdtemp(prefix="incr_skew_")
+    cfg = _cfg(tmp)
+    assert cfg.max_bucket_size == 200
+    boiler = _words("boiler", 40)
+    base_rows = [("base", f"b{i:03d}.py", boiler) for i in range(250)]
+    base_rows.append(("base", "u.py", _words("uniq", 40)))
+    base_raw = _df(spark, base_rows)
+    dedupe(base_raw, cfg)
+    state = load_state(spark, cfg)
+    near = " ".join(boiler.split()[:36]) + " tailaa tailbb tailcc tailxx"
+    res = incremental_dedupe(
+        _df(spark, [("batch", "near.py", near)]), cfg, state,
+        base_contents=base_raw.select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ),
+    )
+    lab = {r.fid: r.component for r in res.labels.collect()}
+    assert lab["batch/near.py"] == lab["base/b000.py"] == lab["base/b249.py"]
 
 
 def test_incremental_exact_mode(spark):
