@@ -301,7 +301,9 @@ def incremental_dedupe(
 
     edges = edges.localCheckpoint()
     affected, updated = incremental_labels(edges, state.labels, cfg.cc_max_iterations)
-    files_union = state.files.unionByName(new_files)
+    # allowMissingColumns: optional audit columns (is_symlink, ...)
+    # may exist on one side only — they are not consumed downstream
+    files_union = state.files.unionByName(new_files, allowMissingColumns=True)
     clusters = elect_keepers(files_union, affected, cfg)
     plan = action_plan(clusters, cfg)
     # metrics must see every file the plan can reference — affected
@@ -326,14 +328,14 @@ def merged_state(result: IncrementalResult, state: BaseState, cfg: DedupConfig,
     bands = state.bands
     if bands is not None:
         if result.new_bands is not None:
-            bands = bands.unionByName(result.new_bands)
+            bands = bands.unionByName(result.new_bands, allowMissingColumns=True)
         elif new_raw is not None:
             new_full = ingest(new_raw, cfg).withColumn(
                 "fid", F.concat_ws("/", "repo", "path")
             )
             bands = bands.unionByName(_slim_bands(new_full, cfg))
     return BaseState(
-        files=state.files.unionByName(result.new_files),
+        files=state.files.unionByName(result.new_files, allowMissingColumns=True),
         bands=bands,
         labels=result.labels,
     )

@@ -204,3 +204,104 @@ def run_incremental(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+# --- continuous append: per-micro-batch incremental dedupe ---------------
+
+
+def _fs_list(spark, path: str) -> list[str]:
+    """Child names under ``path`` via the Hadoop FS API (works for
+    hdfs://, s3a://, file: — driver-local os.listdir would not)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(p)]
+
+
+def bootstrap_append_state(base_raw: DataFrame, cfg: DedupConfig, state_root: str) -> None:
+    """Seed the continuous-append chain: run the full pipeline over the
+    base corpus with its stages checkpointed into ``<state_root>/s00000``
+    (the layout ``incremental.load_state`` reads) and persist base
+    contents to ``<state_root>/contents`` for the verify stage of later
+    appends."""
+    from deduplidog_spark.pipeline import dedupe
+
+    cfg0 = cfg.with_(checkpoint_dir=state_root.rstrip("/") + "/s00000",
+                     checkpoint_table_prefix=None)
+    res = dedupe(base_raw, cfg0)
+    res.plan.count()  # force every stage write
+    # batch_id=-1 subdir: keeps the contents location a uniform
+    # partitioned layout (batches write batch_id=<k> beside it)
+    base_raw.select(
+        F.concat_ws("/", "repo", "path").alias("fid"), "content"
+    ).write.mode("overwrite").parquet(
+        state_root.rstrip("/") + "/contents/batch_id=-1"
+    )
+
+
+def streaming_append_dedupe(
+    stream: DataFrame,
+    cfg: DedupConfig,
+    state_root: str,
+    query_checkpoint: str,
+    trigger_seconds: int | None = None,
+):
+    """Continuous ingest → chained incremental dedupe (foreachBatch).
+
+    Each micro-batch k loads the newest state snapshot under
+    ``<state_root>/sNNNNN``, runs ``incremental.incremental_dedupe``
+    against it (batch-only signatures, broadcast base probing), writes
+    the batch's action plan to ``<state_root>/plans`` (append, stamped
+    with batch_id), rolls the merged state forward to ``sNNNNN+1`` and
+    appends the batch contents — so batch k+1 dedupes against base ∪
+    batches 1..k, exactly like the chained ``run_dedupe --append``
+    flow, driven by a real StreamingQuery. Restart safety comes from
+    Structured Streaming's exactly-once foreachBatch contract: after a
+    crash the batch replays, rewriting the same sNNNNN+1 snapshot.
+
+    Start with ``bootstrap_append_state``. Returns the StreamingQuery.
+    """
+    from deduplidog_spark.incremental import (
+        incremental_dedupe,
+        load_state,
+        merged_state,
+        write_state,
+    )
+
+    root = state_root.rstrip("/")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        chain = sorted(n for n in _fs_list(spark, root) if n.startswith("s"))
+        if not chain:
+            raise RuntimeError(
+                f"no state snapshot under {root} — run bootstrap_append_state first"
+            )
+        cfg_k = cfg.with_(checkpoint_dir=f"{root}/{chain[-1]}",
+                          checkpoint_table_prefix=None)
+        state = load_state(spark, cfg_k)
+        contents = spark.read.parquet(f"{root}/contents")
+        res = incremental_dedupe(batch_df, cfg_k, state, base_contents=contents)
+        # per-batch subdirs + overwrite => idempotent under foreachBatch
+        # replay (a blind append would double rows after a crash-replay)
+        res.plan.write.mode("overwrite").parquet(
+            f"{root}/plans/batch_id={batch_id}"
+        )
+        nxt = f"{root}/s{len(chain):05d}"
+        write_state(spark, merged_state(res, state, cfg_k), cfg_k, nxt)
+        batch_df.select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ).write.mode("overwrite").parquet(f"{root}/contents/batch_id={batch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", query_checkpoint)
+        .outputMode("update")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

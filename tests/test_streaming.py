@@ -194,3 +194,72 @@ def test_streaming_windowed_metrics(spark):
     assert out[0].n_files == 2 and out[0].n_bytes == 10
     assert out[10].n_files == 1 and out[10].n_bytes == 2
     assert out[0].n_repos == 1
+
+
+def test_streaming_append_dedupe_chains_state(spark):
+    """Continuous append: two micro-batches through foreachBatch must
+    chain — batch 2 duplicates of batch-1 docs cluster, and the final
+    state's labels equal a full batch recompute over everything."""
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.config import DedupConfig
+    from deduplidog_spark.incremental import load_state
+    from deduplidog_spark.pipeline import dedupe
+    from deduplidog_spark.streaming.incremental import (
+        bootstrap_append_state,
+        read_file_stream,
+        streaming_append_dedupe,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_append_")
+    root = os.path.join(tmp, "state")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    cfg = DedupConfig(
+        mode="minhash", num_perm=128, lsh_bands=64,
+        jaccard_threshold=0.25, sig_est_threshold=0.05,
+        size_ratio_prefilter=0.4,
+    )
+
+    def words(p, n):
+        return " ".join(
+            f"{p}{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}" for i in range(n)
+        )
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(r, p, "c0", "py", c, None) for r, p, c in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, mtime timestamp",
+        )
+
+    base = df([("base", "a.py", words("alpha", 40)),
+               ("base", "a2.py", words("alpha", 40) + " tailaa tailbb")])
+    bootstrap_append_state(base, cfg, root)
+
+    b1 = [("d1", "h.py", words("hotel", 40))]
+    b2 = [("d2", "hcopy.py", words("hotel", 40)),          # dup of batch-1 doc
+          ("d2", "anear.py", words("alpha", 40) + " tailxx tailyy")]  # near base
+    df(b1).write.parquet(os.path.join(src, "b1"))
+
+    stream = read_file_stream(spark, src + "/*", FX.FILES_SCHEMA)
+    q = streaming_append_dedupe(stream, cfg, root, os.path.join(tmp, "qckpt"))
+    try:
+        q.processAllAvailable()
+        df(b2).write.parquet(os.path.join(src, "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    chain = sorted(d for d in os.listdir(root) if d.startswith("s"))
+    assert len(chain) == 3  # bootstrap + 2 micro-batches
+    final = load_state(spark, cfg.with_(checkpoint_dir=os.path.join(root, chain[-1])))
+    lab = {r.fid: r.component for r in final.labels.collect()}
+    assert lab["d2/hcopy.py"] == lab["d1/h.py"]          # batch-vs-batch dup
+    assert lab["d2/anear.py"] == lab["base/a.py"]        # batch-vs-base near
+    full = dedupe(
+        base.unionByName(df(b1)).unionByName(df(b2)),
+        cfg.with_(checkpoint_dir=tempfile.mkdtemp(prefix="full_sa_")),
+    )
+    ful = {r.fid: r.component for r in full.clusters.select("fid", "component").collect()}
+    assert lab == ful
