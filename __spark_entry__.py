@@ -1275,6 +1275,24 @@ def q_incremental_pipeline(spark, sf_dir):
     return res.labels.select("fid", "component")
 
 
+def q_curation(spark, sf_dir):
+    """The composed training-data curation verdict (pretrain.curate):
+    per corpus doc, keep/drop with the first failing stage —
+    too_short → low_quality → repetitive → contaminated (8-gram
+    overlap with the doc_id%29 benchmark slice) → duplicate
+    (non-keeper of a shared-opening-passage cluster)."""
+    from deduplidog_spark.operators import pretrain
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    benchmark = d.filter(F.col("doc_id") % 29 == 0)
+    return pretrain.curate(
+        corpus,
+        benchmark,
+        cluster_key=pretrain.head_passage_fingerprint(F.col("text"), 20),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_counters": q_agg_counters,
@@ -1338,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "quality_keeper": q_quality_keeper,
         "incremental_pipeline": q_incremental_pipeline,
+        "curation": q_curation,
     }
 
 
@@ -2507,6 +2526,80 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY gram
             ORDER BY n_occurrences DESC, gram ASC
             LIMIT 50
+        """,
+        "curation": """
+            WITH corp AS (SELECT * FROM documents WHERE doc_id % 29 != 0),
+            stats AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END
+                           AS n_tokens,
+                       CAST(floor(least(CAST(len(text) AS DOUBLE)/200.0, 1.0)
+                             * (1.0 - CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                      / greatest(len(text), 1))
+                             * (0.5 + 0.5*CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                                      / greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+                                                 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1))
+                             * 10000) AS BIGINT) AS quality_bp,
+                       CASE WHEN n_g > 0
+                            THEN round((n_g - n_gd) * 1.0 / n_g, 6)
+                            ELSE 0.0 END AS dup_2gram_fraction
+                FROM (
+                    SELECT doc_id, text, len(g) AS n_g,
+                           len(list_distinct(g)) AS n_gd
+                    FROM (
+                        SELECT doc_id, text,
+                               CASE WHEN len(w) >= 2 THEN list_transform(
+                                   range(1, len(w) - 1 + 1),
+                                   i -> array_to_string(list_slice(w, i, i + 1), ' '))
+                               ELSE [] END AS g
+                        FROM (SELECT doc_id, text,
+                                     string_split_regex(trim(text), '\\s+') AS w
+                              FROM corp)))),
+            wg AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents WHERE len(trim(text)) > 0),
+            gg AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(w) >= 8 THEN list_distinct(list_transform(
+                        range(1, len(w) - 7 + 1),
+                        i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+                    ELSE [] END) AS gram
+                FROM wg),
+            bb AS (SELECT DISTINCT gram FROM gg WHERE doc_id % 29 = 0),
+            contam AS (
+                SELECT DISTINCT doc_id FROM gg JOIN bb USING (gram)
+                WHERE doc_id % 29 != 0),
+            qk AS (
+                SELECT s.doc_id,
+                       md5(array_to_string(list_slice(
+                           string_split_regex(trim(c.text), '\\s+'), 1, 20), ' '))
+                           AS fp,
+                       s.quality_bp
+                FROM stats s JOIN corp c USING (doc_id)),
+            rk AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY fp
+                           ORDER BY quality_bp DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY fp) AS n
+                FROM qk),
+            losers AS (SELECT doc_id FROM rk WHERE n > 1 AND rn > 1)
+            SELECT s.doc_id, s.n_tokens, s.quality_bp, s.dup_2gram_fraction,
+                   CASE WHEN s.n_tokens < 25 THEN 'too_short'
+                        WHEN s.quality_bp < 5000 THEN 'low_quality'
+                        WHEN s.dup_2gram_fraction > 0.10 THEN 'repetitive'
+                        WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                        WHEN l.doc_id IS NOT NULL THEN 'duplicate'
+                   END AS drop_reason,
+                   (CASE WHEN s.n_tokens < 25 THEN 'too_short'
+                        WHEN s.quality_bp < 5000 THEN 'low_quality'
+                        WHEN s.dup_2gram_fraction > 0.10 THEN 'repetitive'
+                        WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                        WHEN l.doc_id IS NOT NULL THEN 'duplicate'
+                   END) IS NULL AS keep
+            FROM stats s
+            LEFT JOIN contam c USING (doc_id)
+            LEFT JOIN losers l USING (doc_id)
         """,
         "quality_keeper": """
             WITH q AS (

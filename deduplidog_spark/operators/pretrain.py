@@ -163,15 +163,10 @@ def repetition_stats(
     w = words_of(t)
     n_words = token_count(t)
     n_distinct = F.size(F.array_distinct(w))
-    g2 = word_grams(t, 2, distinct=False)
-    n_g2 = F.size(g2)
-    n_g2_distinct = F.size(F.array_distinct(g2))
     dup_words = F.when(
         n_words > 0, F.round((n_words - n_distinct) / n_words, 6)
     ).otherwise(F.lit(0.0))
-    dup_g2 = F.when(
-        n_g2 > 0, F.round((n_g2 - n_g2_distinct) / n_g2, 6)
-    ).otherwise(F.lit(0.0))
+    dup_g2 = dup_2gram_fraction_col(t)
     return docs.select(
         F.col(id_col),
         n_words.alias("n_words"),
@@ -213,6 +208,84 @@ def head_passage_fingerprint(text: Column, n_words: int = 20) -> Column:
     their opening passage (scraped boilerplate headers, templated
     files)."""
     return F.md5(F.concat_ws(" ", F.slice(words_of(text), 1, n_words)))
+
+
+def dup_2gram_fraction_col(t: Column) -> Column:
+    """Fraction of 2-gram occurrences that repeat an earlier one (the
+    discriminative Gopher repetition signal; shared by
+    repetition_stats and curate)."""
+    g2 = word_grams(t, 2, distinct=False)
+    n_g2 = F.size(g2)
+    return F.when(
+        n_g2 > 0, F.round((n_g2 - F.size(F.array_distinct(g2))) / n_g2, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def curate(
+    corpus: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 25,
+    min_quality_bp: int = 5000,
+    max_dup_2gram: float = 0.10,
+    gram_words: int = 8,
+    cluster_key: Column | None = None,
+) -> DataFrame:
+    """The composed curation verdict — what a training-data pipeline
+    actually runs: one row per corpus doc with ``keep`` and the FIRST
+    failing stage as ``drop_reason``, precedence
+
+        quarantined → too_short → low_quality → repetitive →
+        contaminated → duplicate
+
+    (quarantined = NULL text; contaminated = shares an n-gram with the
+    benchmark set; duplicate = non-keeper of a multi-doc cluster under
+    ``cluster_key``, keeper = highest quality). Election and
+    contamination are evaluated over the full corpus, not the
+    survivors of earlier stages — the standard order-independent
+    formulation.
+
+    Shape at scale: per-row column expressions plus two broadcast-able
+    joins (contaminated ids, duplicate non-keeper ids — both small) —
+    no corpus shuffle beyond what decontaminate/quality_keepers
+    already bound.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = corpus.select(
+        F.col(id_col),
+        F.col(text_col).isNull().alias("is_quarantined"),
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality_bp"),
+        dup_2gram_fraction_col(t).alias("dup_2gram_fraction"),
+    )
+    if benchmark is not None:
+        contaminated = decontaminate(
+            corpus, benchmark, id_col, text_col, gram_words
+        ).select(F.col(id_col), F.lit(True).alias("is_contaminated"))
+        base = base.join(F.broadcast(contaminated), id_col, "left")
+    else:
+        base = base.withColumn("is_contaminated", F.lit(None).cast("boolean"))
+    dups = quality_keepers(corpus, id_col, text_col, key=cluster_key).filter(
+        ~F.col("is_keeper")
+    ).select(F.col(id_col), F.lit(True).alias("is_dup_loser"))
+    base = base.join(F.broadcast(dups), id_col, "left")
+    reason = (
+        F.when(F.col("is_quarantined"), F.lit("quarantined"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("quality_bp") < min_quality_bp, F.lit("low_quality"))
+        .when(F.col("dup_2gram_fraction") > max_dup_2gram, F.lit("repetitive"))
+        .when(F.coalesce(F.col("is_contaminated"), F.lit(False)), F.lit("contaminated"))
+        .when(F.coalesce(F.col("is_dup_loser"), F.lit(False)), F.lit("duplicate"))
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "quality_bp",
+        "dup_2gram_fraction",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
 
 
 def quality_keepers(

@@ -124,3 +124,38 @@ def test_elect_keepers_order_override(spark):
         ).collect()
     }
     assert out == {"r/a": False, "r/b": True}
+
+
+def test_curate_reason_precedence_and_keep(spark):
+    long_good = " ".join(f"tok{chr(97+i%26)}{chr(97+i//26%26)}" for i in range(60))
+    bench_text = " ".join(f"q{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, long_good),                       # keep
+            (2, None),                            # quarantined
+            (3, "tiny doc"),                      # too_short
+            (4, "a b " * 15),                     # repetitive (2-grams repeat)
+            (5, "x0 x1 " + bench_text),           # contaminated... unless shorter gates fire
+            (6, long_good + " zz"),               # same head-20 passage as 1 → duplicate
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    from deduplidog_spark.operators.pretrain import curate, head_passage_fingerprint
+    from pyspark.sql import functions as F
+
+    out = {
+        r.doc_id: r
+        for r in curate(
+            docs, bench, min_tokens=5, min_quality_bp=100, max_dup_2gram=0.5,
+            cluster_key=head_passage_fingerprint(F.col("text"), 20),
+        ).collect()
+    }
+    assert out[1].keep and out[1].drop_reason is None
+    assert out[2].drop_reason == "quarantined"
+    assert out[3].drop_reason == "too_short"
+    assert out[4].drop_reason == "repetitive"
+    assert out[5].drop_reason == "contaminated"
+    assert out[6].drop_reason == "duplicate"   # lower quality than doc 1 twin
+    # precedence: a doc failing multiple stages reports the FIRST one
+    assert out[4].dup_2gram_fraction > 0.5 and out[4].n_tokens >= 5
