@@ -1275,6 +1275,26 @@ def q_incremental_pipeline(spark, sf_dir):
     return res.labels.select("fid", "component")
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine dedup END-TO-END (completing the mode family's
+    plan-level oracles): exact cosine ≥ τ pairs → hash-min connected
+    components → min-id keeper, value-checked against a recursive-CTE
+    closure over the same pair set. Ids are zero-padded before CC so
+    string min-label order equals numeric order."""
+    from deduplidog_spark.operators.cluster import connected_components
+
+    pairs = q_embedding_near_pairs(spark, sf_dir).select(
+        F.format_string("v%06d", "vec_id_a").alias("id_a"),
+        F.format_string("v%06d", "vec_id_b").alias("id_b"),
+    )
+    labels = connected_components(pairs)
+    return labels.select(
+        F.substring("fid", 2, 6).cast("long").alias("vec_id"),
+        F.substring("component", 2, 6).cast("long").alias("component"),
+        (F.col("fid") == F.col("component")).alias("is_keeper"),
+    )
+
+
 def q_curation(spark, sf_dir):
     """The composed training-data curation verdict (pretrain.curate):
     per corpus doc, keep/drop with the first failing stage —
@@ -1357,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_keeper": q_quality_keeper,
         "incremental_pipeline": q_incremental_pipeline,
         "curation": q_curation,
+        "dedup_embedding": q_dedup_embedding,
     }
 
 
@@ -2526,6 +2547,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY gram
             ORDER BY n_occurrences DESC, gram ASC
             LIMIT 50
+        """,
+        "dedup_embedding": """
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+                WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[]), 6)
+                      >= 0.45),
+            und AS (SELECT id_a AS src, id_b AS dst FROM p
+                    UNION SELECT id_b, id_a FROM p),
+            reach(node, comp) AS (
+                SELECT DISTINCT src, src FROM und
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node)
+            SELECT node AS vec_id, min(comp) AS component,
+                   node = min(comp) AS is_keeper
+            FROM reach GROUP BY node
         """,
         "curation": """
             WITH corp AS (SELECT * FROM documents WHERE doc_id % 29 != 0),
