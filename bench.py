@@ -184,6 +184,7 @@ def main() -> None:
         "incremental_pipeline",
         "passage_dedup",
         "decontaminate",
+        "curation",
         "token_count",
         "quality",
     ):
