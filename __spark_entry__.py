@@ -1284,13 +1284,13 @@ def q_dedup_embedding(spark, sf_dir):
     from deduplidog_spark.operators.cluster import connected_components
 
     pairs = q_embedding_near_pairs(spark, sf_dir).select(
-        F.format_string("v%06d", "vec_id_a").alias("id_a"),
-        F.format_string("v%06d", "vec_id_b").alias("id_b"),
+        F.format_string("v%012d", "vec_id_a").alias("id_a"),
+        F.format_string("v%012d", "vec_id_b").alias("id_b"),
     )
     labels = connected_components(pairs)
     return labels.select(
-        F.substring("fid", 2, 6).cast("long").alias("vec_id"),
-        F.substring("component", 2, 6).cast("long").alias("component"),
+        F.substring("fid", 2, 12).cast("long").alias("vec_id"),
+        F.substring("component", 2, 12).cast("long").alias("component"),
         (F.col("fid") == F.col("component")).alias("is_keeper"),
     )
 
@@ -2566,9 +2566,12 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node
         """,
         "curation": """
-            WITH corp AS (SELECT * FROM documents WHERE doc_id % 29 != 0),
+            WITH corp AS (
+                SELECT doc_id, text IS NULL AS is_q,
+                       coalesce(text, '') AS text
+                FROM documents WHERE doc_id % 29 != 0),
             stats AS (
-                SELECT doc_id,
+                SELECT doc_id, is_q,
                        CASE WHEN len(trim(text)) = 0 THEN 0
                             ELSE len(string_split_regex(trim(text), '\\s+')) END
                            AS n_tokens,
@@ -2583,15 +2586,15 @@ def oracle_sql() -> dict[str, str]:
                             THEN round((n_g - n_gd) * 1.0 / n_g, 6)
                             ELSE 0.0 END AS dup_2gram_fraction
                 FROM (
-                    SELECT doc_id, text, len(g) AS n_g,
+                    SELECT doc_id, is_q, text, len(g) AS n_g,
                            len(list_distinct(g)) AS n_gd
                     FROM (
-                        SELECT doc_id, text,
+                        SELECT doc_id, is_q, text,
                                CASE WHEN len(w) >= 2 THEN list_transform(
                                    range(1, len(w) - 1 + 1),
                                    i -> array_to_string(list_slice(w, i, i + 1), ' '))
                                ELSE [] END AS g
-                        FROM (SELECT doc_id, text,
+                        FROM (SELECT doc_id, is_q, text,
                                      string_split_regex(trim(text), '\\s+') AS w
                               FROM corp)))),
             wg AS (
@@ -2623,13 +2626,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM qk),
             losers AS (SELECT doc_id FROM rk WHERE n > 1 AND rn > 1)
             SELECT s.doc_id, s.n_tokens, s.quality_bp, s.dup_2gram_fraction,
-                   CASE WHEN s.n_tokens < 25 THEN 'too_short'
+                   CASE WHEN s.is_q THEN 'quarantined'
+                        WHEN s.n_tokens < 25 THEN 'too_short'
                         WHEN s.quality_bp < 5000 THEN 'low_quality'
                         WHEN s.dup_2gram_fraction > 0.10 THEN 'repetitive'
                         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
                         WHEN l.doc_id IS NOT NULL THEN 'duplicate'
                    END AS drop_reason,
-                   (CASE WHEN s.n_tokens < 25 THEN 'too_short'
+                   (CASE WHEN s.is_q THEN 'quarantined'
+                        WHEN s.n_tokens < 25 THEN 'too_short'
                         WHEN s.quality_bp < 5000 THEN 'low_quality'
                         WHEN s.dup_2gram_fraction > 0.10 THEN 'repetitive'
                         WHEN c.doc_id IS NOT NULL THEN 'contaminated'

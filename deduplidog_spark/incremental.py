@@ -47,6 +47,24 @@ _BAND_STAGE = {
     "substring": "winnow_bands",
 }
 
+# ingest-time audit flags that may exist on one side of a base/batch
+# union only; nothing downstream of the union reads them. Any OTHER
+# schema difference is a real drift (e.g. missing mtime/size/simhash
+# would silently NULL-fill a column keeper election or verify reads)
+# and must fail loudly.
+_OPTIONAL_AUDIT_COLS = {"is_symlink", "marked"}
+
+
+def _union_audit_tolerant(a: DataFrame, b: DataFrame) -> DataFrame:
+    drift = set(a.columns) ^ set(b.columns)
+    extra = drift - _OPTIONAL_AUDIT_COLS
+    if extra:
+        raise ValueError(
+            f"base/batch schema drift on non-audit columns {sorted(extra)} — "
+            "the state was produced from a different ingest schema"
+        )
+    return a.unionByName(b, allowMissingColumns=True)
+
 
 @dataclass
 class BaseState:
@@ -301,9 +319,7 @@ def incremental_dedupe(
 
     edges = edges.localCheckpoint()
     affected, updated = incremental_labels(edges, state.labels, cfg.cc_max_iterations)
-    # allowMissingColumns: optional audit columns (is_symlink, ...)
-    # may exist on one side only — they are not consumed downstream
-    files_union = state.files.unionByName(new_files, allowMissingColumns=True)
+    files_union = _union_audit_tolerant(state.files, new_files)
     clusters = elect_keepers(files_union, affected, cfg)
     plan = action_plan(clusters, cfg)
     # metrics must see every file the plan can reference — affected
@@ -328,14 +344,14 @@ def merged_state(result: IncrementalResult, state: BaseState, cfg: DedupConfig,
     bands = state.bands
     if bands is not None:
         if result.new_bands is not None:
-            bands = bands.unionByName(result.new_bands, allowMissingColumns=True)
+            bands = _union_audit_tolerant(bands, result.new_bands)
         elif new_raw is not None:
             new_full = ingest(new_raw, cfg).withColumn(
                 "fid", F.concat_ws("/", "repo", "path")
             )
             bands = bands.unionByName(_slim_bands(new_full, cfg))
     return BaseState(
-        files=state.files.unionByName(result.new_files, allowMissingColumns=True),
+        files=_union_audit_tolerant(state.files, result.new_files),
         bands=bands,
         labels=result.labels,
     )

@@ -259,17 +259,21 @@ def curate(
         quality_score(t).alias("quality_bp"),
         dup_2gram_fraction_col(t).alias("dup_2gram_fraction"),
     )
+    # no forced broadcast on these joins: the contaminated/duplicate id
+    # sets are usually tiny but their size is data-dependent (a 40%-dup
+    # web crawl makes the loser set corpus-scale) — let AQE pick
+    # broadcast when they actually fit instead of hinting an OOM cliff
     if benchmark is not None:
         contaminated = decontaminate(
             corpus, benchmark, id_col, text_col, gram_words
         ).select(F.col(id_col), F.lit(True).alias("is_contaminated"))
-        base = base.join(F.broadcast(contaminated), id_col, "left")
+        base = base.join(contaminated, id_col, "left")
     else:
         base = base.withColumn("is_contaminated", F.lit(None).cast("boolean"))
     dups = quality_keepers(corpus, id_col, text_col, key=cluster_key).filter(
         ~F.col("is_keeper")
     ).select(F.col(id_col), F.lit(True).alias("is_dup_loser"))
-    base = base.join(F.broadcast(dups), id_col, "left")
+    base = base.join(dups, id_col, "left")
     reason = (
         F.when(F.col("is_quarantined"), F.lit("quarantined"))
         .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
@@ -304,8 +308,12 @@ def quality_keepers(
 
     Returns one row per member of a multi-document cluster:
     (id, cluster_fp, quality_bp, is_keeper, keeper_id).
+
+    NULL text is treated as '' (quality 0, md5('') fingerprint) so the
+    window ordering stays engine-independent — NULL ordering defaults
+    differ between Spark (last on desc) and SQL engines (first).
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(
         F.col(id_col),
         (key if key is not None else content_fingerprint(t)).alias("cluster_fp"),

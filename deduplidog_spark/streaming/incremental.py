@@ -222,13 +222,25 @@ def _fs_list(spark, path: str) -> list[str]:
 
 def bootstrap_append_state(base_raw: DataFrame, cfg: DedupConfig, state_root: str) -> None:
     """Seed the continuous-append chain: run the full pipeline over the
-    base corpus with its stages checkpointed into ``<state_root>/s00000``
-    (the layout ``incremental.load_state`` reads) and persist base
-    contents to ``<state_root>/contents`` for the verify stage of later
-    appends."""
+    base corpus with its stages checkpointed into
+    ``<state_root>/s000000000`` (snapshot index 0, the layout
+    ``incremental.load_state`` reads) and persist base contents to
+    ``<state_root>/contents`` for the verify stage of later appends.
+
+    Refuses to bootstrap over a root that already holds LATER snapshots
+    (s…>0): overwriting only index 0 would leave the stream silently
+    preferring stale state derived from the previous base."""
     from deduplidog_spark.pipeline import dedupe
 
-    cfg0 = cfg.with_(checkpoint_dir=state_root.rstrip("/") + "/s00000",
+    root = state_root.rstrip("/")
+    stale = [n for n in _fs_list(base_raw.sparkSession, root)
+             if n.startswith("s") and n != "s000000000"]
+    if stale:
+        raise ValueError(
+            f"state_root {root} already holds snapshots {sorted(stale)} — "
+            "delete the old chain (or pick a fresh root) before re-bootstrapping"
+        )
+    cfg0 = cfg.with_(checkpoint_dir=f"{root}/s000000000",
                      checkpoint_table_prefix=None)
     res = dedupe(base_raw, cfg0)
     res.plan.count()  # force every stage write
@@ -250,16 +262,22 @@ def streaming_append_dedupe(
 ):
     """Continuous ingest → chained incremental dedupe (foreachBatch).
 
-    Each micro-batch k loads the newest state snapshot under
-    ``<state_root>/sNNNNN``, runs ``incremental.incremental_dedupe``
-    against it (batch-only signatures, broadcast base probing), writes
-    the batch's action plan to ``<state_root>/plans`` (append, stamped
-    with batch_id), rolls the merged state forward to ``sNNNNN+1`` and
-    appends the batch contents — so batch k+1 dedupes against base ∪
-    batches 1..k, exactly like the chained ``run_dedupe --append``
-    flow, driven by a real StreamingQuery. Restart safety comes from
-    Structured Streaming's exactly-once foreachBatch contract: after a
-    crash the batch replays, rewriting the same sNNNNN+1 snapshot.
+    Micro-batch k loads the newest snapshot whose index ≤ k, runs
+    ``incremental.incremental_dedupe`` against it (batch-only
+    signatures, broadcast base probing), writes the batch's action
+    plan to ``<state_root>/plans/batch_id=k``, rolls the merged state
+    forward to snapshot index k+1 and writes the batch contents to
+    ``contents/batch_id=k`` — so batch k+1 dedupes against base ∪
+    batches 0..k, exactly like the chained ``run_dedupe --append``
+    flow, driven by a real StreamingQuery.
+
+    Replay safety: snapshot names are keyed by BATCH ID, not a
+    directory count, and every per-batch write is an overwrite of a
+    batch-keyed location. If batch k crashes mid-write (even leaving a
+    partial s(k+1)), the replay selects max(index ≤ k) — never the
+    partial snapshot — and overwrites s(k+1) and both batch_id=k
+    subdirs in place; the contents read likewise filters batch_id < k
+    so a half-written attempt can never feed the batch its own rows.
 
     Start with ``bootstrap_append_state``. Returns the StreamingQuery.
     """
@@ -276,22 +294,26 @@ def streaming_append_dedupe(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        chain = sorted(n for n in _fs_list(spark, root) if n.startswith("s"))
-        if not chain:
+        usable = [
+            n
+            for n in _fs_list(spark, root)
+            if n.startswith("s") and int(n[1:]) <= batch_id
+        ]
+        if not usable:
             raise RuntimeError(
                 f"no state snapshot under {root} — run bootstrap_append_state first"
             )
-        cfg_k = cfg.with_(checkpoint_dir=f"{root}/{chain[-1]}",
+        cfg_k = cfg.with_(checkpoint_dir=f"{root}/{max(usable)}",
                           checkpoint_table_prefix=None)
         state = load_state(spark, cfg_k)
-        contents = spark.read.parquet(f"{root}/contents")
+        contents = spark.read.parquet(f"{root}/contents").filter(
+            F.col("batch_id") < batch_id
+        ).select("fid", "content")
         res = incremental_dedupe(batch_df, cfg_k, state, base_contents=contents)
-        # per-batch subdirs + overwrite => idempotent under foreachBatch
-        # replay (a blind append would double rows after a crash-replay)
         res.plan.write.mode("overwrite").parquet(
             f"{root}/plans/batch_id={batch_id}"
         )
-        nxt = f"{root}/s{len(chain):05d}"
+        nxt = f"{root}/s{batch_id + 1:09d}"
         write_state(spark, merged_state(res, state, cfg_k), cfg_k, nxt)
         batch_df.select(
             F.concat_ws("/", "repo", "path").alias("fid"), "content"
