@@ -300,6 +300,27 @@ def test_skewed_identical_base_group_still_pairs_with_batch(spark):
     assert lab["batch/near.py"] == lab["base/b000.py"] == lab["base/b249.py"]
 
 
+def test_incremental_from_catalog_table_state(spark):
+    """load_state's catalog-table branch (the Iceberg seam, parquet
+    provider under test): a base run checkpointed as catalog tables
+    feeds an incremental append identically to the path layout."""
+    cfg = _cfg(None).with_(
+        checkpoint_dir=None, checkpoint_table_prefix="incr_cat1"
+    )
+    base_raw = _df(spark, BASE_ROWS)
+    dedupe(base_raw, cfg)
+    state = load_state(spark, cfg)
+    batch = _df(spark, [("batch", "copy_a2.py", BASE_ROWS[1][2])])
+    res = incremental_dedupe(
+        batch, cfg, state,
+        base_contents=base_raw.select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ),
+    )
+    lab = {r.fid: r.component for r in res.labels.collect()}
+    assert lab["batch/copy_a2.py"] == lab["base/a1.py"] == lab["base/a2.py"]
+
+
 def test_incremental_exact_mode(spark):
     tmp = tempfile.mkdtemp(prefix="incr_ex_")
     cfg = DedupConfig(mode="exact", checkpoint_dir=tmp)
