@@ -321,6 +321,38 @@ def test_incremental_from_catalog_table_state(spark):
     assert lab["batch/copy_a2.py"] == lab["base/a1.py"] == lab["base/a2.py"]
 
 
+@pytest.mark.parametrize("mode", ["simhash", "substring"])
+def test_incremental_other_modes_equal_full(spark, mode):
+    """The append path must hold its full-recompute equivalence in the
+    simhash (hamming_filter) and substring (winnowing/LCS) modes too,
+    not just minhash."""
+    tmp = tempfile.mkdtemp(prefix=f"incr_{mode}_")
+    kw = dict(mode=mode, checkpoint_dir=tmp)
+    if mode == "simhash":
+        kw.update(simhash_max_hamming=8, jaccard_threshold=0.25,
+                  sig_est_threshold=0.0, size_ratio_prefilter=0.4)
+    else:
+        kw.update(fingerprint_k=16, fingerprint_window=8)
+    cfg = DedupConfig(**kw)
+    base_raw = _df(spark, BASE_ROWS)
+    dedupe(base_raw, cfg)
+    state = load_state(spark, cfg)
+    res = incremental_dedupe(
+        _df(spark, BATCH_ROWS), cfg, state,
+        base_contents=base_raw.select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ),
+    )
+    full = dedupe(
+        base_raw.unionByName(_df(spark, BATCH_ROWS)),
+        cfg.with_(checkpoint_dir=tempfile.mkdtemp(prefix=f"full_{mode}_")),
+    )
+    inc = {r.fid: r.component for r in res.labels.collect()}
+    ful = {r.fid: r.component for r in full.clusters.select("fid", "component").collect()}
+    assert inc == ful
+    assert inc, "non-trivial clustering expected"
+
+
 def test_incremental_exact_mode(spark):
     tmp = tempfile.mkdtemp(prefix="incr_ex_")
     cfg = DedupConfig(mode="exact", checkpoint_dir=tmp)
