@@ -2092,7 +2092,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id_a, doc_id_b, jaccard5 FROM j
             WHERE jaccard5 >= 0.6
         """,
-        "dedup_name": """
+        "dedup_name": r"""
             WITH o AS (
                 SELECT 'orig/f' || CAST(doc_id AS VARCHAR) || '.py' AS fid,
                        'orig' AS repo,
@@ -2154,7 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _CLUSTER_ORACLE_SQL,
         "dedup_simhash": _CLUSTER_ORACLE_SQL,
         "dedup_substring": _SUBSTRING_CLUSTER_ORACLE_SQL,
-        "numeric_delta_gate": """
+        "numeric_delta_gate": r"""
             WITH toks AS (
                 SELECT doc_id,
                        CASE WHEN len(trim(text)) = 0 THEN 0
