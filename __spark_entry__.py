@@ -745,9 +745,10 @@ def q_media_phash_pairs(spark, sf_dir):
 
 def q_media_near_pairs(spark, sf_dir):
     """Perceptual-hash near-dup pairs at the PRODUCTION hamming radius
-    (8 > the pigeonhole-exhaustive bound of 3 for 4×16-bit chunks), so
-    the oracle replays the actual chunk-join TOPOLOGY — share ≥1 chunk
-    AND Hamming ≤ 8 — not a plain threshold join. Quarantine is
+    (8). The engine derives the chunk count from the radius
+    (q = max_hamming + 1 → pigeonhole recall 1.0), so the oracle is the
+    exhaustive Hamming-threshold join — the chunk join must find EVERY
+    pair within the radius, not just chunk-sharing ones. Quarantine is
     exercised with a deterministic plant (doc_id % 37 → empty payload
     → NULL phash), which the P2 path must exclude from the join."""
     from deduplidog_spark.operators.multimodal import (
@@ -2048,28 +2049,16 @@ def oracle_sql() -> dict[str, str]:
             FROM ph a JOIN ph b ON b.media_id > a.media_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
-        # production radius (8): replay the chunk-join topology itself —
-        # shared 16-bit chunk AND Hamming <= 8 — over non-quarantined
-        # rows (the % 37 plant has NULL phash on the Spark side)
+        # production radius (8): since round 3 the engine derives the
+        # chunk count from the radius (q = max_hamming + 1, pigeonhole
+        # recall 1.0), so the oracle is the EXHAUSTIVE Hamming-threshold
+        # join — a strictly stronger check than replaying the join
+        # topology — over non-quarantined rows (the % 37 plant has NULL
+        # phash on the Spark side)
         "media_near_pairs": _MEDIA_PHASH_CTE + """
-            , uns AS (
-                SELECT media_id, phash,
-                       CAST(CASE WHEN phash < 0
-                                 THEN CAST(phash AS HUGEINT)
-                                      + 18446744073709551616
-                                 ELSE CAST(phash AS HUGEINT) END
-                            AS HUGEINT) AS uv
-                FROM ph WHERE media_id % 37 != 0),
-            ck AS (
-                SELECT media_id, phash,
-                       CAST(uv % 65536 AS BIGINT) AS c0,
-                       CAST((uv // 65536) % 65536 AS BIGINT) AS c1,
-                       CAST((uv // 4294967296) % 65536 AS BIGINT) AS c2,
-                       CAST((uv // 281474976710656) % 65536 AS BIGINT) AS c3
-                FROM uns)
             SELECT a.media_id AS id_a, b.media_id AS id_b
-            FROM ck a JOIN ck b ON b.media_id > a.media_id
-            WHERE (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+            FROM ph a JOIN ph b ON b.media_id > a.media_id
+            WHERE a.media_id % 37 != 0 AND b.media_id % 37 != 0
               AND bit_count(xor(a.phash, b.phash)) <= 8
         """,
         # u64 rolling-hash kernel replicas (see _u64_hash_cte): the

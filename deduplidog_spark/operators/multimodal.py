@@ -180,11 +180,27 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 def near_dup_media_pairs(features: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Perceptual-hash near-dup pairs over extracted features — the
-    media analog of the simhash mode: chunk join + bit_count verify."""
+    media analog of the simhash mode: chunk join + bit_count verify.
+
+    Recall bound: the signature is split into q = max_hamming + 1 bit
+    chunks (width 64 // q), so by the pigeonhole principle two hashes
+    within Hamming distance <= max_hamming must agree exactly on at
+    least one chunk — the equi-join has recall 1.0 for the configured
+    radius, and the bit_count verify makes the output EXACTLY the
+    exhaustive Hamming-threshold pair set. (Bits >= q * width are
+    uncovered by any chunk; differences there only reduce the number
+    of differing bits inside covered chunks, so the bound still holds.)
+    Mirrors simhash.with_simhash_chunks (the text path)."""
+    if max_hamming >= 64:
+        raise ValueError(f"max_hamming={max_hamming} must be < 64")
+    q = max_hamming + 1
+    width = 64 // q
     chunks = F.array(
         *[
-            F.shiftrightunsigned(F.col("phash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-            for i in range(4)
+            F.shiftrightunsigned(F.col("phash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(q)
         ]
     )
     hashed = features.filter(F.col("phash").isNotNull())  # quarantined out
