@@ -125,11 +125,19 @@ def ivf_topk(
         )
 
     lists = assign(corpus, "neighbor_id", 1)
-    lw = Window.partitionBy("cid")
-    lists = (
-        lists.withColumn("list_size", F.count("*").over(lw))
-        .filter(F.col("list_size") <= max_list)
-        .drop("list_size")
+    # skew guard via count pre-pass + broadcast anti-join (NOT a window
+    # count: windows don't partial-aggregate map-side and would shuffle
+    # every corpus assignment row on exactly the skewed cid the cap
+    # exists to guard). The count shuffle carries ~one row per distinct
+    # cid per partition; the oversized-cid set is tiny by construction
+    # and broadcasts. Same pattern as candidates.lsh_candidate_pairs.
+    oversized_lists = (
+        lists.groupBy("cid")
+        .agg(F.count("*").alias("list_size"))
+        .filter(F.col("list_size") > max_list)
+    )
+    lists = lists.join(
+        F.broadcast(oversized_lists.select("cid")), "cid", "left_anti"
     )
     probes = assign(queries, "query_id", n_probe)
     cand = (
@@ -208,12 +216,13 @@ def lsh_ann_topk(
     - the candidate join carries only (id, table, bucket) — vectors
       rejoin AFTER the distinct pair set is known, so the shuffle is
       ids + longs, not embeddings;
-    - ``max_bucket`` caps corpus-side bucket size per table (same
-      window-count guard as the text LSH path, candidates.py): a
-      boilerplate-embedding bucket — zero vectors, truncation artifacts
-      — would otherwise go O(h²); oversized buckets are dropped for
-      that table only, and an honest near-neighbor almost always shares
-      a sane bucket in another table.
+    - ``max_bucket`` caps corpus-side bucket size per table (count
+      pre-pass + broadcast anti-join, the same guard as the text LSH
+      path, candidates.py): a boilerplate-embedding bucket — zero
+      vectors, truncation artifacts — would otherwise go O(h²);
+      oversized buckets are dropped for that table only, and an honest
+      near-neighbor almost always shares a sane bucket in another
+      table.
 
     At 100 TB this is a few shuffle joins on ~N·T/2^p candidate rows
     instead of an impossible cross join.
@@ -241,11 +250,20 @@ def lsh_ann_topk(
         qb = qb.unionByName(p)
     for p in cb_parts[1:]:
         cb = cb.unionByName(p)
-    w = Window.partitionBy("tbl", "ann_bucket")
-    cb = (
-        cb.withColumn("bucket_size", F.count("*").over(w))
-        .filter(F.col("bucket_size") <= max_bucket)
-        .drop("bucket_size")
+    # hot-bucket cap via count pre-pass + broadcast anti-join — the
+    # window-count variant shuffled the full corpus band table on the
+    # exact skewed (tbl, bucket) key this cap guards against; the
+    # groupBy count partial-aggregates map-side and the oversized set
+    # broadcasts. Same pattern as candidates.lsh_candidate_pairs.
+    oversized = (
+        cb.groupBy("tbl", "ann_bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+    cb = cb.join(
+        F.broadcast(oversized.select("tbl", "ann_bucket")),
+        ["tbl", "ann_bucket"],
+        "left_anti",
     )
     cand = (
         qb.join(cb, ["tbl", "ann_bucket"])
