@@ -16,6 +16,10 @@ Cost model per batch (B = batch size, N = base size, B << N):
   base corpus already paid for is read back as the band table);
 - the base band table is probed with a BROADCAST semi-join on the
   batch's bucket keys — a map-side scan of the base, no base shuffle;
+- the sha-collapsed base representatives are READ from the persisted
+  ``band_reps`` stage (written once by the full run, rolled forward
+  append-only by ``merged_state``) — no per-batch base-wide
+  re-aggregation;
 - exact-dup probing broadcasts the batch's distinct shas the same way;
 - connected components run on the TOUCHED subgraph only: new edges
   plus star edges of base components adjacent to them (components can
@@ -73,6 +77,11 @@ class BaseState:
     files: DataFrame  # slim ingested rows (fid, sha, size, mtime, ...)
     bands: DataFrame | None  # slim band table (None in exact mode)
     labels: DataFrame  # (fid, component)
+    # sha-collapsed representative band rows (one per distinct sha) —
+    # persisted by the full run / write_state so an append batch never
+    # re-aggregates the base band table; None for pre-round-3 snapshots
+    # (incremental_dedupe then falls back to a one-off base collapse)
+    band_reps: DataFrame | None = None
 
 
 @dataclass
@@ -85,6 +94,10 @@ class IncrementalResult:
     metrics: DataFrame
     dropped_buckets: DataFrame | None = None
     new_bands: DataFrame | None = None  # batch slim band table (reused by merged_state)
+    # representative band rows for shas the batch introduced (not in
+    # base): merged_state appends these to the base band_reps, keeping
+    # the "one rep per distinct sha" invariant without any aggregation
+    new_band_reps: DataFrame | None = None
 
 
 def load_state(spark: SparkSession, cfg: DedupConfig) -> BaseState:
@@ -106,7 +119,16 @@ def load_state(spark: SparkSession, cfg: DedupConfig) -> BaseState:
         raise ValueError("incremental dedup needs a checkpoint target in cfg")
 
     bands = rd(_BAND_STAGE[cfg.mode]) if cfg.mode in _BAND_STAGE else None
-    return BaseState(files=rd("files"), bands=bands, labels=rd("cc_labels"))
+    band_reps = None
+    if cfg.mode in _BAND_STAGE:
+        try:  # stage exists since round 3; older snapshots → fallback
+            band_reps = rd("band_reps")
+        except Exception:
+            band_reps = None
+    return BaseState(
+        files=rd("files"), bands=bands, labels=rd("cc_labels"),
+        band_reps=band_reps,
+    )
 
 
 def _slim_bands(files_full: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -122,6 +144,15 @@ def _slim_bands(files_full: DataFrame, cfg: DedupConfig) -> DataFrame:
         fps = ss.with_fingerprints(files_full, cfg)
         return fps.select("fid", "sha", "size", "n_lines", "band_hashes")
     raise ValueError(f"_slim_bands: unsupported mode {cfg.mode!r}")
+
+
+def _collapse_reps(bands: DataFrame) -> DataFrame:
+    """One representative band row per distinct sha (min fid) — the
+    bootstrap/fallback collapse; steady-state appends never run this
+    (the persisted band_reps stage + per-batch fresh reps carry the
+    invariant forward with no base-wide aggregation)."""
+    winners = bands.groupBy("sha").agg(F.min("fid").alias("fid"))
+    return bands.join(winners, "fid", "left_semi")
 
 
 def _explode(slim: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -140,7 +171,17 @@ def incremental_candidate_pairs(
     buckets where a batch doc lands: the batch's distinct bucket keys
     BROADCAST against the base band table (left-semi — the base side
     never shuffles), and base-base pairs inside a bucket are skipped in
-    the expansion (they were already emitted by the base run)."""
+    the expansion (they were already emitted by the base run).
+
+    Exact-label-equivalence corner (documented contract): the cap here
+    counts base + batch members, so a batch can push a bucket the BASE
+    run kept (n_base <= max_bucket_size) over the cap. The incremental
+    run then drops the bucket, but edges the base run already emitted
+    from it survive in the base labels — a full recompute would drop
+    the whole bucket. The dropped-buckets report carries ``n_base`` and
+    ``base_kept_divergence`` so operators can detect exactly those
+    buckets (tested); all other buckets preserve the equals-full-
+    recompute guarantee."""
     hot = new_rows.select("band_id", "band_hash").distinct()
     base_hits = base_rows.join(
         F.broadcast(hot), ["band_id", "band_hash"], "left_semi"
@@ -151,9 +192,18 @@ def incremental_candidate_pairs(
         )
     )
     counts = members.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_size")
+        F.count("*").alias("bucket_size"),
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).alias("n_base"),
     )
-    dropped_report = counts.filter(F.col("bucket_size") > cfg.max_bucket_size)
+    dropped_report = counts.filter(
+        F.col("bucket_size") > cfg.max_bucket_size
+    ).withColumn(
+        # true ⇔ the base run kept this bucket (its base-only size was
+        # under the cap) but the batch pushed it over: base labels may
+        # retain edges a full recompute would not emit
+        "base_kept_divergence",
+        (F.col("n_base") > 0) & (F.col("n_base") <= cfg.max_bucket_size),
+    )
     pruned = members.join(
         F.broadcast(dropped_report.select("band_id", "band_hash")),
         ["band_id", "band_hash"],
@@ -248,6 +298,7 @@ def state_from_result(result, base_raw: DataFrame, cfg: DedupConfig) -> BaseStat
         files=result.files,
         bands=bands,
         labels=result.clusters.select("fid", "component"),
+        band_reps=_collapse_reps(bands) if bands is not None else None,
     )
 
 
@@ -274,6 +325,7 @@ def incremental_dedupe(
     exact = incremental_exact_edges(new_files, state.files)
     dropped = None
     new_slim = None
+    reps = None
     if cfg.mode == "exact":
         edges = exact
     elif cfg.mode in _BAND_STAGE:
@@ -296,9 +348,18 @@ def incremental_dedupe(
         # share every band hash, so an uncollapsed boilerplate group
         # would both inflate bucket counts past max_bucket_size
         # (dropping buckets the full run keeps — breaking label
-        # equivalence) and emit one candidate pair per copy
-        base_winners = state.bands.groupBy("sha").agg(F.min("fid").alias("fid"))
-        base_reps = state.bands.join(base_winners, "fid", "left_semi")
+        # equivalence) and emit one candidate pair per copy. The reps
+        # are READ from the persisted band_reps stage (written by the
+        # full run / write_state) so no batch ever pays a base-wide
+        # aggregation shuffle; the groupBy below is only the fallback
+        # for snapshots written before the stage existed.
+        if state.band_reps is not None:
+            base_reps = state.band_reps
+        else:
+            base_winners = state.bands.groupBy("sha").agg(
+                F.min("fid").alias("fid")
+            )
+            base_reps = state.bands.join(base_winners, "fid", "left_semi")
         pairs, dropped = incremental_candidate_pairs(
             _explode(reps, cfg), _explode(base_reps, cfg), cfg
         )
@@ -328,7 +389,7 @@ def incremental_dedupe(
     metrics = run_metrics(plan, files_union)
     return IncrementalResult(
         new_files, edges, updated, clusters, plan, metrics, dropped,
-        new_bands=new_slim,
+        new_bands=new_slim, new_band_reps=reps,
     )
 
 
@@ -342,6 +403,7 @@ def merged_state(result: IncrementalResult, state: BaseState, cfg: DedupConfig,
     ``new_raw`` is only consulted as a fallback for results produced
     before ``new_bands`` existed."""
     bands = state.bands
+    band_reps = None
     if bands is not None:
         if result.new_bands is not None:
             bands = _union_audit_tolerant(bands, result.new_bands)
@@ -350,10 +412,22 @@ def merged_state(result: IncrementalResult, state: BaseState, cfg: DedupConfig,
                 "fid", F.concat_ws("/", "repo", "path")
             )
             bands = bands.unionByName(_slim_bands(new_full, cfg))
+        # roll the rep table forward WITHOUT aggregating: base reps
+        # stay valid (a batch copy of an existing sha rides the exact
+        # star edges, its rep identity is immaterial to labels), and
+        # the batch's fresh-sha reps were already collapsed batch-side
+        # by incremental_dedupe — append-only state growth, O(B) work
+        if state.band_reps is not None and result.new_band_reps is not None:
+            band_reps = _union_audit_tolerant(
+                state.band_reps, result.new_band_reps
+            )
+        else:
+            band_reps = _collapse_reps(bands)
     return BaseState(
         files=_union_audit_tolerant(state.files, result.new_files),
         bands=bands,
         labels=result.labels,
+        band_reps=band_reps,
     )
 
 
@@ -368,4 +442,13 @@ def write_state(spark: SparkSession, state: BaseState, cfg: DedupConfig,
         state.bands.write.mode("overwrite").parquet(
             out + "/" + _BAND_STAGE[cfg.mode]
         )
+        # persist the rep table so the NEXT batch probes it directly;
+        # computed at most once (bootstrap) — steady-state it is the
+        # prior stage plus the batch's fresh reps, no aggregation
+        reps = (
+            state.band_reps
+            if state.band_reps is not None
+            else _collapse_reps(state.bands)
+        )
+        reps.write.mode("overwrite").parquet(out + "/band_reps")
     state.labels.write.mode("overwrite").parquet(out + "/cc_labels")

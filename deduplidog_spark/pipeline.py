@@ -133,6 +133,16 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
         # materialization pull the chain once.
         return _ckpt(d, cfg, "lsh_buckets", reuse=False)
 
+    def _sha_reps(slim: DataFrame) -> DataFrame:
+        # one representative band row per distinct sha — persisted as
+        # its own stage so an incremental append batch probes base
+        # representatives directly instead of re-aggregating the whole
+        # base band table per batch (that re-collapse was a base-wide
+        # O(N) exchange every append; the reps are computed ONCE here).
+        winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
+        return _ckpt(slim.join(winners, "fid", "left_semi"), cfg,
+                     "band_reps", reuse=False)
+
     if cfg.mode == "minhash":
         sigs = mh.with_band_hashes(mh.with_signatures(files, cfg), cfg)
         # band hashes (32 longs) replace the full signature in the
@@ -144,8 +154,7 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
             cfg,
             "minhash_bands",
         )
-        winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
-        reps = slim.join(winners, "fid", "left_semi")
+        reps = _sha_reps(slim)
         band_rows = mh.explode_bands(reps)
         pairs, dropped = lsh_candidate_pairs(band_rows, cfg, materialize=_mat)
         verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)
@@ -156,8 +165,7 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
             cfg,
             "simhash_bands",
         )
-        winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
-        reps = slim.join(winners, "fid", "left_semi")
+        reps = _sha_reps(slim)
         band_rows = mh.explode_bands(reps)
         pairs, dropped = lsh_candidate_pairs(band_rows, cfg, materialize=_mat)
         # verify by Hamming distance (V4 analog), then optional exact Jaccard
@@ -170,8 +178,7 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
             cfg,
             "winnow_bands",
         )
-        winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
-        reps = slim.join(winners, "fid", "left_semi")
+        reps = _sha_reps(slim)
         band_rows = ss.explode_fingerprints(reps)
         pairs, dropped = lsh_candidate_pairs(band_rows, cfg, materialize=_mat)
         verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)

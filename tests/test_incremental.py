@@ -363,3 +363,108 @@ def test_incremental_exact_mode(spark):
     res = incremental_dedupe(_df(spark, [("batch", "d3.py", "same")]), cfg, state)
     lab = {r.fid: r.component for r in res.labels.collect()}
     assert lab["batch/d3.py"] == lab["base/d1.py"] == lab["base/d2.py"]
+
+
+def test_band_reps_stage_persisted_and_loaded(spark, incr_run):
+    """Round-3 cost-model fix: the full run persists a sha-collapsed
+    band_reps stage and load_state reads it, so append batches probe
+    representatives directly instead of re-aggregating the base band
+    table (one base-wide exchange per batch before)."""
+    cfg, state, res, full, batch_raw = incr_run
+    assert state.band_reps is not None, "band_reps stage missing from state"
+    n_reps = state.band_reps.count()
+    n_distinct_sha = state.bands.select("sha").distinct().count()
+    assert n_reps == n_distinct_sha  # exactly one rep per distinct sha
+    # and the stage actually sits on disk beside the band table
+    import os
+
+    stage_dir = os.path.join(cfg.checkpoint_dir, cfg.fingerprint(), "band_reps")
+    assert os.path.exists(os.path.join(stage_dir, "_SUCCESS"))
+
+
+def test_merged_state_band_reps_append_only(spark, incr_run):
+    """merged_state must roll band_reps forward WITHOUT a base-wide
+    aggregation: base reps plus the batch's fresh-sha reps, preserving
+    exactly one rep per distinct sha of the merged corpus."""
+    cfg, state, res, full, batch_raw = incr_run
+    nxt = merged_state(res, state, cfg)
+    assert nxt.band_reps is not None
+    got = nxt.band_reps.select("sha").collect()
+    shas = [r.sha for r in got]
+    assert len(shas) == len(set(shas)), "duplicate reps for one sha"
+    want = {r.sha for r in nxt.bands.select("sha").distinct().collect()}
+    assert set(shas) == want
+    # roundtrip: write_state persists the stage, load_state reads it back
+    from deduplidog_spark.incremental import write_state
+
+    nxt_dir = cfg.checkpoint_dir + "_repsrt"
+    write_state(spark, nxt, cfg, nxt_dir)
+    st2 = load_state(spark, cfg.with_(checkpoint_dir=nxt_dir))
+    assert st2.band_reps is not None
+    assert st2.band_reps.count() == len(shas)
+
+
+def test_dropped_bucket_reports_base_divergence(spark):
+    """ADVICE r2: when a batch pushes a bucket the BASE run kept past
+    max_bucket_size, incremental drops it while base labels retain its
+    edges — the report must flag exactly those buckets."""
+    from deduplidog_spark.incremental import incremental_candidate_pairs
+
+    def rows(prefix, n, h):
+        return [(f"{prefix}{i}", 0, h) for i in range(n)]
+
+    schema = "fid string, band_id int, band_hash long"
+    # bucket 111: base 2 (kept by base run, cap 3) + batch 2 -> dropped,
+    #            divergence risk
+    # bucket 222: base 5 (base run ALSO dropped it) + batch 1 -> dropped,
+    #            no divergence (full recompute drops it too)
+    # bucket 333: base 1 + batch 1 -> under cap, not dropped
+    base = spark.createDataFrame(
+        rows("b", 2, 111) + rows("c", 5, 222) + rows("d", 1, 333), schema
+    )
+    batch = spark.createDataFrame(
+        rows("nb", 2, 111) + rows("nc", 1, 222) + rows("nd", 1, 333), schema
+    )
+    cfg = _cfg(tempfile.mkdtemp(prefix="divg_"), max_bucket_size=3)
+    _pairs, dropped = incremental_candidate_pairs(batch, base, cfg)
+    rep = {r.band_hash: r for r in dropped.collect()}
+    assert set(rep) == {111, 222}
+    assert rep[111].base_kept_divergence and rep[111].n_base == 2
+    assert not rep[222].base_kept_divergence and rep[222].n_base == 5
+
+
+def test_append_never_aggregates_base_bands_with_reps_stage(spark, incr_run):
+    """Machine check of the round-3 cost model: with the band_reps
+    stage present, incremental_dedupe must never run a groupBy over
+    the base band table (the per-batch base-wide exchange the stage
+    exists to eliminate). The proxy forwards every DataFrame call but
+    trips on aggregation."""
+    cfg, state, _res, _full, batch_raw = incr_run
+
+    class NoAggBands:
+        def __init__(self, df):
+            self._df = df
+
+        def groupBy(self, *a, **k):  # noqa: N802 (Spark API casing)
+            raise AssertionError(
+                "base band table aggregated despite band_reps stage"
+            )
+
+        def __getattr__(self, name):
+            return getattr(self._df, name)
+
+    from deduplidog_spark.incremental import BaseState
+
+    guarded = BaseState(
+        files=state.files,
+        bands=NoAggBands(state.bands),
+        labels=state.labels,
+        band_reps=state.band_reps,
+    )
+    res = incremental_dedupe(
+        batch_raw, cfg, guarded,
+        base_contents=_df(spark, BASE_ROWS).select(
+            F.concat_ws("/", "repo", "path").alias("fid"), "content"
+        ),
+    )
+    assert res.labels.count() > 0
