@@ -220,6 +220,16 @@ def _fs_list(spark, path: str) -> list[str]:
     return [s.getPath().getName() for s in fs.listStatus(p)]
 
 
+def _fs_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FS API (scheme-agnostic,
+    like _fs_list)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def bootstrap_append_state(base_raw: DataFrame, cfg: DedupConfig, state_root: str) -> None:
     """Seed the continuous-append chain: run the full pipeline over the
     base corpus with its stages checkpointed into
@@ -259,6 +269,7 @@ def streaming_append_dedupe(
     state_root: str,
     query_checkpoint: str,
     trigger_seconds: int | None = None,
+    retain_snapshots: int | None = 2,
 ):
     """Continuous ingest → chained incremental dedupe (foreachBatch).
 
@@ -278,6 +289,16 @@ def streaming_append_dedupe(
     partial snapshot — and overwrites s(k+1) and both batch_id=k
     subdirs in place; the contents read likewise filters batch_id < k
     so a half-written attempt can never feed the batch its own rows.
+
+    Snapshot retention: each roll-forward writes a full s<k+1> state
+    dir under the parquet layout, so without cleanup disk grows as one
+    full state copy per batch. After a batch fully commits (plan +
+    state + contents written), snapshots older than the newest
+    ``retain_snapshots`` are deleted — the default 2 keeps the snapshot
+    just read (covers foreachBatch's at-least-once replay of the last
+    uncommitted batch) and the one just written. ``None`` disables
+    cleanup (debugging/audit chains); an Iceberg state table replaces
+    the whole copy-per-batch layout with batch-sized deltas.
 
     Start with ``bootstrap_append_state``. Returns the StreamingQuery.
     """
@@ -318,6 +339,17 @@ def streaming_append_dedupe(
         batch_df.select(
             F.concat_ws("/", "repo", "path").alias("fid"), "content"
         ).write.mode("overwrite").parquet(f"{root}/contents/batch_id={batch_id}")
+        if retain_snapshots is not None:
+            # batch fully committed (plan + s<k+1> + contents) — drop
+            # snapshots older than the newest `retain_snapshots`. The
+            # snapshot just read stays (replay of THIS batch re-reads
+            # it); earlier ones are unreachable: foreachBatch replays
+            # at most the last uncommitted batch id.
+            snaps = sorted(
+                n for n in _fs_list(spark, root) if n.startswith("s")
+            )
+            for n in snaps[: -max(retain_snapshots, 2)]:
+                _fs_delete(spark, f"{root}/{n}")
 
     writer = (
         stream.writeStream.foreachBatch(_process)

@@ -79,6 +79,17 @@ def main() -> None:
         cfg = DedupConfig(checkpoint_dir=ckpt, **common)
 
     if batch_loc is not None:
+        # fail fast on a misconfigured roll-forward target BEFORE any
+        # work: with a table: checkpoint and no --state-out, the
+        # default "<ckpt>_next" would be a table: string, which the
+        # parquet state layout can't take — catching it only after the
+        # append ran would leave outputs written but state not rolled
+        nxt = state_out or (ckpt.rstrip("/") + "_next")
+        if nxt.startswith("table:"):
+            sys.exit(
+                "--state-out must be a path (parquet state layout); "
+                "a table: checkpoint target needs an explicit --state-out"
+            )
         state = load_state(spark, cfg)
         base = read_corpus(spark, corpus_loc)
         res = incremental_dedupe(
@@ -107,9 +118,7 @@ def main() -> None:
         # roll the state forward so appends CHAIN: without this, a
         # second --append against the same target would dedupe against
         # the ORIGINAL base only and miss batch-vs-batch duplicates
-        nxt = state_out or (ckpt.rstrip("/") + "_next")
-        if nxt.startswith("table:"):
-            sys.exit("--state-out must be a path (parquet state layout)")
+        # (nxt was validated before any work ran)
         write_state(spark, merged_state(res, state, cfg), cfg, nxt)
         print(
             f"state rolled forward to {nxt} — pass it as the checkpoint "

@@ -252,7 +252,12 @@ def test_streaming_append_dedupe_chains_state(spark):
         q.stop()
 
     chain = sorted(d for d in os.listdir(root) if d.startswith("s"))
-    assert len(chain) == 3  # bootstrap + 2 micro-batches
+    # bootstrap + 2 micro-batches wrote s0/s1/s2, but the default
+    # retention (2) deletes snapshots older than the newest two once a
+    # batch fully commits — disk must NOT grow one full state copy per
+    # batch (ADVICE r2)
+    assert len(chain) == 2
+    assert chain == ["s000000001", "s000000002"]
     final = load_state(spark, cfg.with_(checkpoint_dir=os.path.join(root, chain[-1])))
     lab = {r.fid: r.component for r in final.labels.collect()}
     assert lab["d2/hcopy.py"] == lab["d1/h.py"]          # batch-vs-batch dup
