@@ -29,6 +29,7 @@ def connected_components(
     max_iterations: int = 20,
     checkpoint_every: int = 1,
     check_every: int = 2,
+    materialize=None,
 ) -> DataFrame:
     """Edges (id_a, id_b) → labels (fid, component) for every node that
     appears in an edge. Component id = min member fid (deterministic).
@@ -45,7 +46,18 @@ def connected_components(
     ``check_every=2`` halves the probe count again; the cost is at most
     one redundant round after convergence, against rounds that are
     O(diameter) ≈ 3-5 for near-star dedup graphs.
+
+    ``materialize(df, tag)`` is the per-round lineage-truncation hook:
+    default ``localCheckpoint`` (fast, but pinned to executor storage —
+    an executor loss kills the chain). The pipeline passes a durable
+    parquet/table hook when a checkpoint target is configured
+    (``pipeline._cc_materializer``), so long CC chains at cluster scale
+    survive executor loss AND resume across driver restarts (tested:
+    a rerun reproduces labels from the round tables alone without
+    re-evaluating the edge plan).
     """
+    if materialize is None:
+        materialize = lambda df, tag: df.localCheckpoint()  # noqa: E731
     # single pass over (possibly expensive, lazy) edges: emit both
     # directions via explode instead of a self-union, which would scan
     # the edge-producing plan twice
@@ -57,7 +69,7 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    und = und.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    und = materialize(und.filter(F.col("src") != F.col("dst")).distinct(), "edges")
 
     # initial labels derive from the (already materialized) edge list —
     # no separate checkpoint job; iteration 1 computes them inline
@@ -95,7 +107,7 @@ def connected_components(
             )
         )
         if checkpoint_every and (i % checkpoint_every == 0):
-            new_labels = new_labels.localCheckpoint()
+            new_labels = materialize(new_labels, f"r{i}")
         last_round = i == max_iterations - 1
         if ((i + 1) % max(check_every, 1) == 0) or last_round:
             changed = (

@@ -108,6 +108,22 @@ def _with_fid(df: DataFrame) -> DataFrame:
     return df.withColumn("fid", F.concat_ws("/", "repo", "path"))
 
 
+def _cc_materializer(cfg: DedupConfig):
+    """Per-round materialization hook for connected_components.
+
+    With a checkpoint target configured, each CC round's label table
+    goes through the same durable parquet/table path as every other
+    stage (``cc_edges``, ``cc_r0``, ``cc_r1``, …) — localCheckpoint
+    pins round state in executor storage, so a single executor loss
+    late in a long chain would force the whole iteration over at
+    cluster scale; a driver restart resumes from the completed round
+    tables (same fingerprint-keyed reuse semantics as ``files`` /
+    band stages). Without a target: None → localCheckpoint rounds."""
+    if not (cfg.checkpoint_dir or cfg.checkpoint_table_prefix):
+        return None
+    return lambda df, tag: _ckpt(df, cfg, f"cc_{tag}")
+
+
 def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
     """Candidate generation + verification for the selected near-dup
     mode. Returns (verified_pairs, dropped_buckets_report).
@@ -258,7 +274,9 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
     # undirected edge list), labels feed only the keeper window, the
     # plan is consumed lazily — none need an eager barrier here
     edges = _ckpt(edges, cfg, "edges", reuse=False)
-    labels = connected_components(edges, cfg.cc_max_iterations)
+    labels = connected_components(
+        edges, cfg.cc_max_iterations, materialize=_cc_materializer(cfg)
+    )
     labels = _ckpt(labels, cfg, "cc_labels", reuse=False)
     clusters = elect_keepers(files, labels, cfg)
     plan = action_plan(clusters, cfg)

@@ -95,3 +95,56 @@ def test_keeper_treat_bigger_as_original(spark):
     assert not out["r/small.txt"].is_keeper
     assert out["r/small.txt"].duplicate_of == "r/big_old.txt"
     assert out["r/big_new.txt"].duplicate_of == "r/big_old.txt"
+
+
+def test_cc_durable_rounds_resume_without_recomputing_edges(spark):
+    """Round-3 VERDICT item 6: with a checkpoint target configured, CC
+    rounds are parquet-backed (cc_edges / cc_r*), so the chain survives
+    executor loss and a rerun resumes from the round tables. Proven by
+    rerunning against the same checkpoint with a POISONED edge input:
+    if any round recomputed from edges instead of reading its stage
+    table, the rerun would raise (or labels would change)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.pipeline import _cc_materializer
+
+    cfg = DedupConfig(
+        mode="minhash", checkpoint_dir=tempfile.mkdtemp(prefix="cc_durable_")
+    )
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("e", "f")])
+    mat = _cc_materializer(cfg)
+    assert mat is not None
+    first = {
+        r.fid: r.component
+        for r in connected_components(e, materialize=mat).collect()
+    }
+    assert first == {"a": "a", "b": "a", "c": "a", "e": "e", "f": "e"}
+    # the stage tables are on disk, fingerprint-keyed like every stage
+    import os
+
+    run_dir = os.path.join(cfg.checkpoint_dir, cfg.fingerprint())
+    assert os.path.exists(os.path.join(run_dir, "cc_edges", "_SUCCESS"))
+    assert os.path.exists(os.path.join(run_dir, "cc_r0", "_SUCCESS"))
+
+    # "kill the state": a rerun gets an edge plan that fails if it is
+    # ever evaluated — resume must come from the round tables alone
+    @F.udf("string")
+    def boom(x):
+        raise RuntimeError("edge plan re-evaluated during resume")
+
+    poisoned = e.select(boom("id_a").alias("id_a"), boom("id_b").alias("id_b"))
+    again = {
+        r.fid: r.component
+        for r in connected_components(poisoned, materialize=mat).collect()
+    }
+    assert again == first
+
+
+def test_cc_without_target_still_local(spark):
+    """No checkpoint target → materializer is None → localCheckpoint
+    path unchanged."""
+    from deduplidog_spark.pipeline import _cc_materializer
+
+    assert _cc_materializer(DedupConfig(mode="exact")) is None
