@@ -44,45 +44,80 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("phash", T.LongType()),  # NULL when quarantined
         T.StructField("feature", T.ArrayType(T.FloatType())),
         T.StructField("quarantined", T.BooleanType()),  # P2: bad row, kept
+        # EXIF datetimes extracted from the payload (reference
+        # helpers.py:32-41 collects the whole set) — feeds the V6
+        # time-set proximity predicate (readers.time_set_proximity)
+        T.StructField("aux_ts", T.ArrayType(T.TimestampType())),
     ]
 )
 
+# EXIF datetime-bearing tags, in the reference's collection order
+# (helpers.py:32-41): DateTime, DateTimeOriginal, DateTimeDigitized
+_EXIF_DT_TAGS = (306, 36867, 36868)
 
-def _decode_image_stub(payload: bytes) -> np.ndarray:
+
+def _decode_image_stub(payload: bytes):
     """STUB — deterministic fake decode. A real deployment replaces this
     with PIL/libvips/ffmpeg; everything around it (batching, schema,
     partitioning) is production-shaped. Raises on empty payload like a
-    real codec would."""
+    real codec would. Returns (pixels, exif_datetimes); the fake EXIF
+    set is a deterministic function of the payload bytes so the V6
+    aux_ts plumbing is testable without a codec."""
+    import datetime as _dt
+    import hashlib
+
     if not payload:
         raise ValueError("empty media payload")
     # deterministic pseudo-pixels from the payload bytes
     arr = np.frombuffer(payload, dtype=np.uint8)
     side = max(int(len(arr) ** 0.5), 1)
-    return np.resize(arr, (side, side)).astype(np.float32)
+    pixels = np.resize(arr, (side, side)).astype(np.float32)
+    h = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
+    t0 = _dt.datetime(2020, 1, 1) + _dt.timedelta(seconds=h % 100_000_000)
+    aux = [t0, t0 + _dt.timedelta(seconds=90)]  # original + digitized
+    return pixels, aux
 
 
 def _make_decoder():
     """Real-codec seam: when Pillow is installed (a real cluster) and
-    SPARK_GRAFT_MEDIA_CODEC != 'stub', decode via PIL grayscale;
-    otherwise the deterministic stub. Resolved once per Python worker —
-    the UDF body, batching and quarantine path are identical either
-    way, so swapping codecs changes zero Spark-side code."""
+    SPARK_GRAFT_MEDIA_CODEC != 'stub', decode via PIL grayscale and
+    read the EXIF datetime tags out of the payload; otherwise the
+    deterministic stub. Resolved once per Python worker — the UDF
+    body, batching and quarantine path are identical either way, so
+    swapping codecs changes zero Spark-side code. Either way returns
+    (pixels, exif_datetimes)."""
     import os
 
     if os.environ.get("SPARK_GRAFT_MEDIA_CODEC", "auto") != "stub":
         try:
+            import datetime as _dt
             import io
 
             from PIL import Image  # not in this container; real clusters
 
-            def _decode_pil(payload: bytes) -> np.ndarray:
+            def _decode_pil(payload: bytes):
                 if not payload:
                     raise ValueError("empty media payload")
                 try:
-                    img = Image.open(io.BytesIO(payload)).convert("L")
+                    img = Image.open(io.BytesIO(payload))
+                    exif = img.getexif()
+                    gray = img.convert("L")
                 except Exception as e:  # undecodable → quarantine
                     raise ValueError(f"undecodable payload: {e}") from e
-                return np.asarray(img, dtype=np.float32)
+                aux = []
+                for tag in _EXIF_DT_TAGS:
+                    raw = exif.get(tag)
+                    if not raw:
+                        continue
+                    try:  # EXIF format: "YYYY:MM:DD HH:MM:SS"
+                        aux.append(
+                            _dt.datetime.strptime(
+                                str(raw).strip(), "%Y:%m:%d %H:%M:%S"
+                            )
+                        )
+                    except ValueError:
+                        continue  # malformed tag — not a quarantine cause
+                return np.asarray(gray, dtype=np.float32), aux
 
             return _decode_pil
         except ImportError:
@@ -113,14 +148,14 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
         for pdf in batches:
             out = {
                 "media_id": [], "kind": [], "n_bytes": [], "phash": [],
-                "feature": [], "quarantined": [],
+                "feature": [], "quarantined": [], "aux_ts": [],
             }
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    pixels = decode(payload)
+                    pixels, aux = decode(payload)
                     ph = _phash64(pixels)
                     feat = np.resize(pixels.flatten(), feature_dim)
                     norm = float(np.linalg.norm(feat)) or 1.0
@@ -131,13 +166,14 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
                     # NULL, not a sentinel: any shared sentinel value would
                     # make every quarantined pair Hamming-distance-0 "near
                     # duplicates" in the chunk join.
-                    ph, feat, bad = None, None, True
+                    ph, feat, aux, bad = None, None, None, True
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["n_bytes"].append(len(payload))
                 out["phash"].append(ph)
                 out["feature"].append(feat)
                 out["quarantined"].append(bad)
+                out["aux_ts"].append(aux)
             # phash must stay object-dtyped: a single None (quarantined
             # row) would coerce the column to float64 and silently
             # corrupt every 64-bit hash above 2^53 in the batch

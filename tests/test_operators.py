@@ -10,6 +10,7 @@ from deduplidog_spark import fixtures as FX
 from deduplidog_spark.operators.bandjoin import asof_nearest, band_join
 from deduplidog_spark.operators.multimodal import (
     FEATURE_SCHEMA,
+    MEDIA_SCHEMA,
     extract_media_features,
     near_dup_media_pairs,
     synthesize_media,
@@ -211,10 +212,10 @@ def test_media_chunk_join_covers_full_radius(spark):
         return u - (1 << 64) if u >= 1 << 63 else u
 
     rows = [
-        (0, "image", 8, sgn(base), None, False),
-        (1, "image", 8, sgn(spread4), None, False),
-        (2, "image", 8, sgn(spread8), None, False),
-        (3, "image", 8, sgn(far), None, False),
+        (0, "image", 8, sgn(base), None, False, None),
+        (1, "image", 8, sgn(spread4), None, False, None),
+        (2, "image", 8, sgn(spread8), None, False, None),
+        (3, "image", 8, sgn(far), None, False, None),
     ]
     feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
     got4 = {
@@ -324,3 +325,40 @@ def test_numeric_delta_gate_prunes_in_verify_chain(spark):
     assert gated.count() == 0
     wide = verify_candidate_pairs(pairs, files, base.with_(line_delta_max=40))
     assert wide.count() == 1
+
+
+def test_media_exif_aux_ts_feeds_v6_proximity(spark):
+    """VERDICT item 7: the codec seam emits EXIF datetimes from the
+    payload as aux_ts (deterministic fake in-container; PIL tag read on
+    a real cluster), and the set feeds the existing V6 exists-predicate
+    unchanged. Two copies of one payload must carry identical aux sets
+    and match each other under time_set_proximity; quarantined rows
+    carry NULL."""
+    from deduplidog_spark.sources.readers import time_set_proximity
+
+    payload = b"deterministic-media-bytes" * 20
+    rows = [
+        (1, "image", bytearray(payload), "image/png", 8, 8, None),
+        (2, "image", bytearray(payload), "image/png", 8, 8, None),
+        (3, "image", bytearray(b""), "image/png", 8, 8, None),  # quarantine
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_media_features(media)
+    by_id = {r.media_id: r for r in feats.collect()}
+    assert by_id[1].aux_ts == by_id[2].aux_ts  # deterministic per payload
+    assert by_id[1].aux_ts and len(by_id[1].aux_ts) == 2
+    assert by_id[3].aux_ts is None  # quarantined
+    # V6 composition: file 1's own ts = file 2's first EXIF ts + 30 s
+    # → within the 3600 s band; a far-away ts is not
+    own = feats.filter("media_id = 1").select(
+        F.col("media_id"),
+        (F.element_at("aux_ts", 1) + F.expr("INTERVAL 30 SECONDS")).alias("mtime"),
+        "aux_ts",
+    )
+    near = own.filter(time_set_proximity(F.col("mtime"), F.col("aux_ts"), 3600))
+    far = own.filter(
+        time_set_proximity(
+            F.col("mtime") + F.expr("INTERVAL 400 DAYS"), F.col("aux_ts"), 3600
+        )
+    )
+    assert near.count() == 1 and far.count() == 0
