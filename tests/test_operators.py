@@ -362,3 +362,48 @@ def test_media_exif_aux_ts_feeds_v6_proximity(spark):
         )
     )
     assert near.count() == 1 and far.count() == 0
+
+
+def test_edit_ratio_udf_exact_and_vectorized(spark):
+    """V8 edit-ratio verifier: the numpy scan-trick DP must agree with
+    JVM F.levenshtein exactly (after the documented early-outs), incl.
+    non-ASCII and prefix/suffix-trimmed near-dups."""
+    from deduplidog_spark.operators.verify import make_edit_ratio_udf
+
+    rows = [
+        (1, "kitten", "sitting"),          # classic: lev 3, m 7
+        (2, "straße basic", "strasse basic"),  # non-ASCII
+        (3, "shared prefix XYZ shared suffix", "shared prefix ABC shared suffix"),
+        (4, "same", "same"),               # equality short-circuit
+        (5, None, "x"),                    # NULL → 0.0
+        (6, "ab", "abcdefghij"),           # length bound dominates
+    ]
+    df = spark.createDataFrame(rows, "i long, a string, b string")
+    er = make_edit_ratio_udf()
+    got = {
+        r.i: r.r
+        for r in df.select("i", F.round(er("a", "b"), 6).alias("r")).collect()
+    }
+    want = {
+        r.i: r.w
+        for r in df.select(
+            "i",
+            F.round(
+                F.when(F.col("a").isNull() | F.col("b").isNull(), 0.0)
+                .when(
+                    F.least(F.length("a"), F.length("b"))
+                    / F.greatest(F.length("a"), F.length("b"))
+                    < 0.5,
+                    F.least(F.length("a"), F.length("b"))
+                    / F.greatest(F.length("a"), F.length("b")),
+                )
+                .otherwise(
+                    1.0
+                    - F.levenshtein("a", "b")
+                    / F.greatest(F.length("a"), F.length("b"))
+                ),
+                6,
+            ).alias("w"),
+        ).collect()
+    }
+    assert got == want
