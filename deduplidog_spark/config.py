@@ -38,6 +38,11 @@ class DedupConfig:
 
     # --- key normalization (K1-K6, deduplidog.py:118-126)
     casefold: bool = False
+    # exact str.casefold semantics (Unicode full case folding: ß→ss,
+    # İ→i̇, ﬁ→fi) via an Arrow-vectorized UDF; default False keeps K5
+    # on the JVM F.lower path, which is codegen-fused and identical on
+    # ASCII keys. Only consulted when ``casefold`` is on.
+    casefold_exact: bool = False
     space2char: str | None = None  # replace ' ' with this char
     strip_end_counter: bool = False  # drop trailing '(\d+)'
     strip_suffix: str | None = None  # regex stripped from stem end

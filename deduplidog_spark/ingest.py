@@ -34,6 +34,27 @@ def load_files(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _casefold_udf():
+    """K5 exact mode: Python ``str.casefold`` (Unicode full case
+    folding) as an Arrow-vectorized pandas UDF. ``F.lower`` is simple
+    case mapping — equal on ASCII but not on e.g. ß (→ss under
+    casefold) or ligatures — so corpora that need true
+    caseless-blocking semantics set ``casefold_exact``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fold(s: pd.Series) -> pd.Series:
+        return s.str.casefold()
+
+    # explicit signature: module-level `from __future__ import
+    # annotations` stringifies hints, and `pd` isn't resolvable in this
+    # module's globals for pyspark's get_type_hints pass
+    _fold.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    casefold = pandas_udf(_fold, "string")
+
+    return casefold
+
+
 def _normalize_stem(stem: Column, cfg: DedupConfig, shorten: bool) -> Column:
     """K2-K6 — the reference applies these to the *stem* only
     (deduplidog.py:464-476). ``shorten`` applies only on the index
@@ -49,8 +70,12 @@ def _normalize_stem(stem: Column, cfg: DedupConfig, shorten: bool) -> Column:
     if cfg.casefold:
         # K5 — the reference's casefold branch is broken (stem.match...
         # raises AttributeError, deduplidog.py:475-476); we implement the
-        # documented intent (str.casefold ≈ lower for our corpora).
-        key = F.lower(key)
+        # documented intent. Default: F.lower (JVM, codegen-fused,
+        # identical to str.casefold on ASCII keys). casefold_exact
+        # opts into full Unicode case folding (ß→ss, ﬁ→fi) through an
+        # Arrow-batched pandas UDF — off the codegen path, so only pay
+        # for it on corpora where the distinction exists.
+        key = _casefold_udf()(key) if cfg.casefold_exact else F.lower(key)
     if shorten and cfg.work_file_stem_shortened:
         key = F.substring(key, 1, cfg.work_file_stem_shortened)  # K6
     return key

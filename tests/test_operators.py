@@ -407,3 +407,34 @@ def test_edit_ratio_udf_exact_and_vectorized(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_casefold_exact_unicode_semantics(spark):
+    """K5 exact mode: casefold_exact routes the blocking key through
+    true str.casefold (full Unicode folding) while the default stays on
+    the JVM lower path (reference intent, deduplidog.py:475-476 — its
+    own casefold branch raises; FIXTURES.md documents the divergence)."""
+    from deduplidog_spark.config import DedupConfig
+    from deduplidog_spark.ingest import with_derived_columns
+
+    rows = [
+        ("r", "a/Straße.txt", "c1", "txt", "x"),   # ß → ss
+        ("r", "b/ﬁLE.TXT", "c2", "txt", "y"),      # ﬁ ligature → fi
+        ("r", "c/ISTANBUL.py", "c3", "py", "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+    exact = with_derived_columns(df, DedupConfig(casefold=True, casefold_exact=True))
+    got = {r["path"]: r["norm_key"] for r in exact.select("path", "norm_key").collect()}
+    assert got["a/Straße.txt"] == "Straße".casefold() == "strasse"
+    assert got["b/ﬁLE.TXT"] == "ﬁLE".casefold() == "file"
+    assert got["c/ISTANBUL.py"] == "istanbul"
+
+    # default: JVM simple lowering — ASCII-identical, ß/ligature preserved
+    low = with_derived_columns(df, DedupConfig(casefold=True))
+    got_low = {r["path"]: r["norm_key"] for r in low.select("path", "norm_key").collect()}
+    assert got_low["a/Straße.txt"] == "straße"
+    assert got_low["b/ﬁLE.TXT"] == "ﬁle"
+    assert got_low["c/ISTANBUL.py"] == "istanbul"
