@@ -795,6 +795,37 @@ def q_repo_profiles(spark, sf_dir):
     return repo_profiles(files)
 
 
+def q_fork_pairs(spark, sf_dir):
+    """Cross-repo fork detection, value-checked: repo-pair Jaccard over
+    distinct sha sets. The corpus has no natural cross-source dups, so
+    the query plants a 90% fork of src3 (above tau), a one-third
+    partial copy of src5 (passes min_shared, filtered by tau), and a
+    ubiquitous LICENSE text in every repo that the hot-sha cap
+    (max_sha_repos=8 << 22 repos) must prune before pair expansion."""
+    from deduplidog_spark.operators.groupstats import fork_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    base = d.select(F.col("source").alias("repo"), "text")
+    fork_a = d.filter(
+        (F.col("source") == "src3") & (F.col("doc_id") % 10 != 0)
+    ).select(F.lit("src3_fork").alias("repo"), "text")
+    fork_b = d.filter(
+        (F.col("source") == "src5") & (F.col("doc_id") % 3 == 0)
+    ).select(F.lit("src5_part").alias("repo"), "text")
+    lic = (
+        base.select("repo")
+        .distinct()
+        .unionByName(
+            spark.createDataFrame([("src3_fork",), ("src5_part",)], "repo string")
+        )
+        .withColumn("text", F.lit("MIT LICENSE boilerplate"))
+    )
+    corpus = base.unionByName(fork_a).unionByName(fork_b).unionByName(lic)
+    files = corpus.select("repo", F.sha2(F.col("text"), 256).alias("sha"))
+    pairs, _hot = fork_pairs(files, tau=0.5, max_sha_repos=8, min_shared=2)
+    return pairs
+
+
 def q_substring_pairs(spark, sf_dir):
     """Winnowing substring candidate pairs on documents, value-checked:
     _substring_pairs_oracle_sql replays the fingerprint kernel and the
@@ -1377,7 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symlink_dirs": q_symlink_dirs,
         "union_dedupe": q_union_dedupe,
         "agg_counters": q_agg_counters,
-        "repo_profiles": q_repo_profiles,
+        "fork_pairs": q_fork_pairs,
         # --- driver-window boundary (50) ---------------------------------
         # narrow demos below were driver-certified in CORRECTNESS_r02.json
         # (rows+schema+hash green) and stay covered by
@@ -1395,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warning_gate": q_warning_gate,
         "report_top": q_report_top,
         "common_prefix": q_common_prefix,
+        "repo_profiles": q_repo_profiles,  # rows-only; r2 driver row
     }
 
 
@@ -1967,6 +1999,44 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node)
             SELECT node AS fid, min(comp) AS component FROM reach GROUP BY node
+        """,
+        "fork_pairs": """
+            WITH d AS (
+                SELECT source, doc_id, text FROM documents
+                WHERE octet_length(encode(text)) > 0),
+            corpus AS (
+                SELECT source AS repo, text FROM d
+                UNION ALL
+                SELECT 'src3_fork', text FROM d
+                WHERE source = 'src3' AND doc_id % 10 <> 0
+                UNION ALL
+                SELECT 'src5_part', text FROM d
+                WHERE source = 'src5' AND doc_id % 3 = 0
+                UNION ALL
+                SELECT repo, 'MIT LICENSE boilerplate' FROM (
+                    SELECT DISTINCT source AS repo FROM d
+                    UNION ALL SELECT 'src3_fork'
+                    UNION ALL SELECT 'src5_part')),
+            rs AS (SELECT DISTINCT repo, sha256(text) AS sha FROM corpus),
+            hot AS (SELECT sha FROM rs GROUP BY sha HAVING count(*) > 8),
+            pruned AS (
+                SELECT * FROM rs WHERE sha NOT IN (SELECT sha FROM hot)),
+            sizes AS (SELECT repo, count(*) AS n FROM pruned GROUP BY repo),
+            inter AS (
+                SELECT a.repo AS repo_a, b.repo AS repo_b,
+                       count(*) AS shared
+                FROM pruned a JOIN pruned b
+                  ON a.sha = b.sha AND a.repo < b.repo
+                GROUP BY 1, 2
+                HAVING count(*) >= 2)
+            SELECT repo_a, repo_b, shared, sa.n AS n_a, sb.n AS n_b,
+                   round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.repo = inter.repo_a
+            JOIN sizes sb ON sb.repo = inter.repo_b
+            WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4)
+                  >= 0.5
         """,
         "repo_profiles": """
             SELECT repo,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 PROFILE_SCHEMA = (
     "repo string, n_files long, total_bytes long, median_size double, "
@@ -49,3 +50,99 @@ def repo_profiles(files: DataFrame) -> DataFrame:
         .groupBy("repo")
         .applyInPandas(profile, PROFILE_SCHEMA)
     )
+
+
+def fork_pairs(
+    files: DataFrame,
+    tau: float = 0.5,
+    max_sha_repos: int = 64,
+    min_shared: int = 2,
+    materialize=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-repo fork detection: repo pairs whose distinct-content
+    sets overlap with Jaccard >= ``tau``.
+
+    At 10^12-file scale forked repositories are the dominant
+    duplication mode (the reference's whole-directory compare,
+    deduplidog.py:262-288, generalized to repo granularity): finding
+    them lets a pipeline drop or keeper-elect entire repos before any
+    per-file LSH work. Input needs (repo, sha) — the ingest projection.
+
+    Scale shape (mirrors candidates.lsh_candidate_pairs):
+    - one distinct over slim (repo, sha) rows — content never moves;
+    - hot-sha guard: a sha present in > ``max_sha_repos`` repos
+      (vendored licences, empty __init__.py, boilerplate) contributes
+      O(k²) pairs and zero fork signal. A map-side-combined count
+      pre-pass + broadcast anti-join removes them BEFORE any owner
+      list materializes, bounding per-sha state at cap × repo bytes.
+      Jaccard is therefore over the *pruned* sets on both sides —
+      "overlap of non-ubiquitous content", the honest fork signal —
+      and the dropped shas are returned as a report, like LSH's
+      dropped-buckets log;
+    - co-occurrence counting, not an O(|pairs|) self-join: per-sha
+      sorted owner lists expand in-partition via the JVM
+      transform/slice expression, then one partial-aggregated count
+      per (repo_a, repo_b);
+    - repo sizes are one row per repo → both size joins broadcast.
+
+    ``materialize`` is the caller's checkpoint hook (pass the
+    pipeline's parquet ``_ckpt`` on long runs): the slim pruned
+    (repo, sha) table feeds BOTH the size aggregate and the owner-list
+    aggregate, so materializing it scans the corpus once instead of
+    twice. The local default keeps the plan lazy.
+
+    Returns (pairs, hot_sha_report); pairs carry
+    (repo_a, repo_b, shared, n_a, n_b, jaccard) with repo_a < repo_b.
+    """
+    if materialize is None:
+        materialize = lambda d: d  # noqa: E731
+    rs = files.select("repo", "sha").distinct()
+    hot = (
+        rs.groupBy("sha")
+        .agg(F.count("*").alias("n_repos"))
+        .filter(F.col("n_repos") > max_sha_repos)
+    )
+    pruned = materialize(
+        rs.join(F.broadcast(hot.select("sha")), "sha", "left_anti")
+    )
+    sizes = pruned.groupBy("repo").agg(F.count("*").alias("n"))
+    owners = (
+        pruned.groupBy("sha")
+        .agg(F.array_sort(F.collect_list("repo")).alias("repos"))
+        .filter(F.size("repos") > 1)
+    )
+    repos = F.col("repos")
+    combos = F.flatten(
+        F.transform(
+            repos,
+            lambda x, i: F.transform(
+                F.slice(repos, i + 2, F.size(repos)),
+                lambda y: F.struct(x.alias("repo_a"), y.alias("repo_b")),
+            ),
+        )
+    )
+    inter = (
+        owners.select(F.explode(combos).alias("p"))
+        .groupBy("p.repo_a", "p.repo_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    pairs = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("repo", "repo_a").withColumnRenamed("n", "n_a")),
+            "repo_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("repo", "repo_b").withColumnRenamed("n", "n_b")),
+            "repo_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("repo_a", "repo_b", "shared", "n_a", "n_b", "jaccard")
+    )
+    return pairs, hot

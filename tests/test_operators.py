@@ -438,3 +438,41 @@ def test_casefold_exact_unicode_semantics(spark):
     assert got_low["a/Straße.txt"] == "straße"
     assert got_low["b/ﬁLE.TXT"] == "ﬁle"
     assert got_low["c/ISTANBUL.py"] == "istanbul"
+
+
+def test_fork_pairs_jaccard_and_hot_sha_guard(spark):
+    """Cross-repo fork detection: repo-pair Jaccard over distinct sha
+    sets; ubiquitous shas (> max_sha_repos owners) are pruned before
+    pair expansion — they carry no fork signal and would otherwise
+    contribute O(k^2) pairs (vendored licences at corpus scale)."""
+    from deduplidog_spark.operators.groupstats import fork_pairs
+
+    def sha_rows(repo, keys):
+        return [(repo, f"sha_{k}") for k in keys]
+
+    rows = (
+        sha_rows("up", range(10))            # upstream: shas 0..9
+        + sha_rows("fork", range(1, 10))     # 9/10 overlap -> J = 0.9
+        + sha_rows("partial", [0, 1, 17])    # 2 shared / 11 union -> 0.1818
+        + sha_rows("lone", [40, 41, 42])     # no overlap
+        # a sha owned by every repo incl. 3 extras: 7 owners > cap 6
+        + [(r, "sha_hot") for r in
+           ("up", "fork", "partial", "lone", "x1", "x2", "x3")]
+        # duplicate (repo, sha) rows must not double-count
+        + sha_rows("up", [0, 1])
+    )
+    files = spark.createDataFrame(rows, "repo string, sha string")
+
+    pairs, hot = fork_pairs(files, tau=0.5, max_sha_repos=6, min_shared=2)
+    got = {(r["repo_a"], r["repo_b"]): r for r in pairs.collect()}
+    assert set(got) == {("fork", "up")}
+    r = got[("fork", "up")]
+    assert (r["shared"], r["n_a"], r["n_b"]) == (9, 9, 10)
+    assert r["jaccard"] == 0.9
+    assert [h["sha"] for h in hot.collect()] == ["sha_hot"]
+
+    # lowering tau exposes the partial pair; x1-x3 (hot-sha-only repos)
+    # never pair with anyone
+    low, _ = fork_pairs(files, tau=0.1, max_sha_repos=6, min_shared=2)
+    keys = {(r["repo_a"], r["repo_b"]): r["jaccard"] for r in low.collect()}
+    assert keys == {("fork", "up"): 0.9, ("partial", "up"): 0.1818}
