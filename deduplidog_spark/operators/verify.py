@@ -70,6 +70,47 @@ def make_lcs_udf():
     return lcs_len
 
 
+def _lev(x: str, y: str) -> int:
+    """Exact Levenshtein, no Python inner loop: prefix/suffix trim +
+    numpy row sweeps (the left-to-right ``cur[j] = min(cur[j-1]+1,
+    t[j])`` carry folds into ``minimum.accumulate(t - j) + j``).
+    Module-level so the property suite can pin it against a reference
+    DP (test_hashing.py)."""
+    import numpy as np
+
+    # prefix/suffix trim: edits live strictly between them
+    p = 0
+    lim = min(len(x), len(y))
+    while p < lim and x[p] == y[p]:
+        p += 1
+    s = 0
+    while s < lim - p and x[len(x) - 1 - s] == y[len(y) - 1 - s]:
+        s += 1
+    x = x[p : len(x) - s]
+    y = y[p : len(y) - s]
+    if not x:
+        return len(y)
+    if not y:
+        return len(x)
+    xa = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32)
+    ya = np.frombuffer(y.encode("utf-32-le"), dtype=np.uint32)
+    lb = len(ya)
+    j = np.arange(1, lb + 1)
+    prev = np.arange(lb + 1)
+    for i, cx in enumerate(xa, 1):
+        # t[j] = min(prev[j] + 1, prev[j-1] + subst_cost)
+        t = np.minimum(prev[1:] + 1, prev[:-1] + (ya != cx))
+        # fold in cur[j-1] + 1 (left-to-right carry) via the
+        # accumulate identity: cur[j] = min_{k<=j}(t[k] + j - k),
+        # seeded by the row head cur[0] = i
+        t = np.minimum(t, i + j)
+        cur = np.empty(lb + 1, dtype=prev.dtype)
+        cur[0] = i
+        cur[1:] = np.minimum.accumulate(t - j) + j
+        prev = cur
+    return int(prev[lb])
+
+
 def make_edit_ratio_udf():
     """Normalized edit-distance similarity 1 - lev(a,b)/max(len) —
     ``F.levenshtein`` exists but materializes the full DP on long
@@ -80,41 +121,6 @@ def make_edit_ratio_udf():
     loop: the left-to-right ``cur[j] = min(cur[j-1]+1, t[j])``
     dependence folds into ``minimum.accumulate(t - j) + j`` — exact
     Levenshtein, no Python inner loop (~40× on 1 KB pairs)."""
-
-    def _lev(x: str, y: str) -> int:
-        import numpy as np
-
-        # prefix/suffix trim: edits live strictly between them
-        p = 0
-        lim = min(len(x), len(y))
-        while p < lim and x[p] == y[p]:
-            p += 1
-        s = 0
-        while s < lim - p and x[len(x) - 1 - s] == y[len(y) - 1 - s]:
-            s += 1
-        x = x[p : len(x) - s]
-        y = y[p : len(y) - s]
-        if not x:
-            return len(y)
-        if not y:
-            return len(x)
-        xa = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32)
-        ya = np.frombuffer(y.encode("utf-32-le"), dtype=np.uint32)
-        lb = len(ya)
-        j = np.arange(1, lb + 1)
-        prev = np.arange(lb + 1)
-        for i, cx in enumerate(xa, 1):
-            # t[j] = min(prev[j] + 1, prev[j-1] + subst_cost)
-            t = np.minimum(prev[1:] + 1, prev[:-1] + (ya != cx))
-            # fold in cur[j-1] + 1 (left-to-right carry) via the
-            # accumulate identity: cur[j] = min_{k<=j}(t[k] + j - k),
-            # seeded by the row head cur[0] = i
-            t = np.minimum(t, i + j)
-            cur = np.empty(lb + 1, dtype=prev.dtype)
-            cur[0] = i
-            cur[1:] = np.minimum.accumulate(t - j) + j
-            prev = cur
-        return int(prev[lb])
 
     @pandas_udf(T.DoubleType())
     def edit_ratio(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -184,3 +184,40 @@ def test_sql_winnow_and_simhash_profiles_match_kernels():
     got_s = {r[0]: r[1] for r in con.execute(e._simhash_oracle_sql(5)).fetchall()}
     for i, t in enumerate(texts):
         assert got_s[f"doc_{i}"] == H.simhash64(H.shingle_hashes_u64(t, 5))
+
+
+def _lev_reference(a: str, b: str) -> int:
+    """Textbook O(len(a)·len(b)) Wagner-Fischer, per-cell Python."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(max_examples=150, deadline=None)
+@given(a=_texty, b=_texty)
+def test_vectorized_levenshtein_matches_reference(a, b):
+    """The numpy scan-trick Levenshtein (verify._lev, used by
+    edit_ratio) is EXACT: equal to Wagner-Fischer on arbitrary inputs,
+    including the prefix/suffix-trim and empty-side fast paths."""
+    from deduplidog_spark.operators.verify import _lev
+
+    assert _lev(a, b) == _lev_reference(a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(core=_texty, edit=_texty, data=st.data())
+def test_vectorized_levenshtein_shared_affixes(core, edit, data):
+    """Adversarial for the trim fast path: long shared prefix+suffix
+    around a small edited middle (the near-dup shape edit_ratio is
+    optimized for)."""
+    from deduplidog_spark.operators.verify import _lev
+
+    pre = data.draw(_texty)
+    suf = data.draw(_texty)
+    a = pre + core + suf
+    b = pre + edit + suf
+    assert _lev(a, b) == _lev_reference(a, b)
