@@ -155,9 +155,13 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
         # representatives directly instead of re-aggregating the whole
         # base band table per batch (that re-collapse was a base-wide
         # O(N) exchange every append; the reps are computed ONCE here).
+        # reuse=True: lsh_candidate_pairs consumes the exploded band
+        # rows TWICE (bucket-count pre-pass that builds the hot-bucket
+        # broadcast, then the pruned anti-join probe side) — left lazy,
+        # the winners groupBy + semi-join would re-execute per consumer.
         winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
         return _ckpt(slim.join(winners, "fid", "left_semi"), cfg,
-                     "band_reps", reuse=False)
+                     "band_reps", reuse=True)
 
     if cfg.mode == "minhash":
         sigs = mh.with_band_hashes(mh.with_signatures(files, cfg), cfg)
