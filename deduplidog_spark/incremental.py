@@ -43,6 +43,7 @@ from deduplidog_spark.operators import simhash as sh
 from deduplidog_spark.operators import substring as ss
 from deduplidog_spark.operators.actions import action_plan, run_metrics
 from deduplidog_spark.operators.cluster import connected_components, elect_keepers
+from deduplidog_spark.operators.exact import collapse_sha_reps
 from deduplidog_spark.operators.verify import verify_candidate_pairs
 
 _BAND_STAGE = {
@@ -147,12 +148,12 @@ def _slim_bands(files_full: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def _collapse_reps(bands: DataFrame) -> DataFrame:
-    """One representative band row per distinct sha (min fid) — the
-    bootstrap/fallback collapse; steady-state appends never run this
-    (the persisted band_reps stage + per-batch fresh reps carry the
-    invariant forward with no base-wide aggregation)."""
-    winners = bands.groupBy("sha").agg(F.min("fid").alias("fid"))
-    return bands.join(winners, "fid", "left_semi")
+    """One representative band row per distinct sha — the bootstrap/
+    fallback collapse; steady-state appends never run this (the
+    persisted band_reps stage + per-batch fresh reps carry the
+    invariant forward with no base-wide aggregation). Delegates to the
+    shared kernel so rep selection cannot diverge from the full run."""
+    return collapse_sha_reps(bands)
 
 
 def _explode(slim: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -356,10 +357,7 @@ def incremental_dedupe(
         if state.band_reps is not None:
             base_reps = state.band_reps
         else:
-            base_winners = state.bands.groupBy("sha").agg(
-                F.min("fid").alias("fid")
-            )
-            base_reps = state.bands.join(base_winners, "fid", "left_semi")
+            base_reps = _collapse_reps(state.bands)
         pairs, dropped = incremental_candidate_pairs(
             _explode(reps, cfg), _explode(base_reps, cfg), cfg
         )

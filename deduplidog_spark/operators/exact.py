@@ -72,3 +72,14 @@ def exact_dup_pairs(files: DataFrame) -> DataFrame:
         .filter(F.col("fid") != F.col("root"))
         .select(F.col("root").alias("id_a"), F.col("fid").alias("id_b"))
     )
+
+
+def collapse_sha_reps(bands: DataFrame) -> DataFrame:
+    """One representative row per distinct sha (min fid, deterministic —
+    SURVEY W5): the collapse that keeps byte-identical copies out of the
+    LSH stage. One kernel, shared by the batch pipeline's band_reps
+    stage, the incremental bootstrap/fallback, and diagnostics — rep
+    selection must agree everywhere or incremental appends would probe
+    different representatives than the full run persisted."""
+    winners = bands.groupBy("sha").agg(F.min("fid").alias("fid"))
+    return bands.join(winners, "fid", "left_semi")

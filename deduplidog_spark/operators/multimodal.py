@@ -226,19 +226,13 @@ def near_dup_media_pairs(features: DataFrame, max_hamming: int = 4) -> DataFrame
     exhaustive Hamming-threshold pair set. (Bits >= q * width are
     uncovered by any chunk; differences there only reduce the number
     of differing bits inside covered chunks, so the bound still holds.)
-    Mirrors simhash.with_simhash_chunks (the text path)."""
-    if max_hamming >= 64:
-        raise ValueError(f"max_hamming={max_hamming} must be < 64")
-    q = max_hamming + 1
-    width = 64 // q
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(F.col("phash"), i * width).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
-            for i in range(q)
-        ]
-    )
+    Mirrors simhash.with_simhash_chunks (the text path) via the shared
+    ``hamming_chunks`` kernel — which also handles the max_hamming=0
+    (exact phash match) case, where the single full-width chunk mask
+    must be the signed all-ones long."""
+    from deduplidog_spark.operators.simhash import hamming_chunks
+
+    chunks = hamming_chunks(F.col("phash"), max_hamming)
     hashed = features.filter(F.col("phash").isNotNull())  # quarantined out
     a = hashed.select(
         F.col("media_id").alias("id_a"),

@@ -47,19 +47,33 @@ def with_simhash(files: DataFrame, cfg: DedupConfig) -> DataFrame:
     return files.withColumn("simhash", make_simhash_udf(cfg)(F.col("content")))
 
 
-def with_simhash_chunks(df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Split the 64-bit signature into q = max_hamming+1 equal bit
-    chunks (JVM-side shiftrightunsigned/mask)."""
-    q = cfg.simhash_max_hamming + 1
+def hamming_chunks(col, max_hamming: int):
+    """q = max_hamming+1 equal bit chunks of a 64-bit signature
+    (pigeonhole: two values within Hamming distance ``max_hamming``
+    agree exactly on at least one chunk — equi-joining any chunk has
+    recall 1.0 for the radius). One kernel for the text-simhash and
+    media-phash paths. JVM longs are signed, so the all-ones mask for
+    the q=1 (exact match) case is -1, not 2^64-1 — a raw
+    ``F.lit(2**64 - 1)`` overflows at plan build."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming={max_hamming} must be in [0, 64)")
+    q = max_hamming + 1
     width = 64 // q
-    chunks = F.array(
+    mask = (1 << width) - 1
+    if mask >= 1 << 63:
+        mask -= 1 << 64  # two's-complement view of the 64-bit all-ones
+    return F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
+            F.shiftrightunsigned(col, i * width).bitwiseAND(F.lit(mask))
             for i in range(q)
         ]
     )
+
+
+def with_simhash_chunks(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Split the 64-bit signature into q = max_hamming+1 equal bit
+    chunks (JVM-side shiftrightunsigned/mask)."""
+    chunks = hamming_chunks(F.col("simhash"), cfg.simhash_max_hamming)
     # gated rows (simhash NULL) must yield NO band rows, not an array of
     # NULL chunk values — NULL chunk rows never equi-join but still pay
     # the explode + bucket-count shuffle; see minhash.with_band_hashes

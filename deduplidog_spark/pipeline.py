@@ -35,7 +35,7 @@ from deduplidog_spark.operators import substring as ss
 from deduplidog_spark.operators.actions import action_plan, run_metrics
 from deduplidog_spark.operators.candidates import lsh_candidate_pairs
 from deduplidog_spark.operators.cluster import connected_components, elect_keepers
-from deduplidog_spark.operators.exact import exact_dup_pairs
+from deduplidog_spark.operators.exact import collapse_sha_reps, exact_dup_pairs
 from deduplidog_spark.operators.namedate import name_date_matches, pair_plan
 from deduplidog_spark.operators.verify import verify_candidate_pairs
 
@@ -158,10 +158,8 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
         # reuse=True: lsh_candidate_pairs consumes the exploded band
         # rows TWICE (bucket-count pre-pass that builds the hot-bucket
         # broadcast, then the pruned anti-join probe side) — left lazy,
-        # the winners groupBy + semi-join would re-execute per consumer.
-        winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
-        return _ckpt(slim.join(winners, "fid", "left_semi"), cfg,
-                     "band_reps", reuse=True)
+        # the collapse would re-execute per consumer.
+        return _ckpt(collapse_sha_reps(slim), cfg, "band_reps", reuse=True)
 
     if cfg.mode == "minhash":
         sigs = mh.with_band_hashes(mh.with_signatures(files, cfg), cfg)

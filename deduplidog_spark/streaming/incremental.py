@@ -296,7 +296,10 @@ def streaming_append_dedupe(
     state + contents written), snapshots older than the newest
     ``retain_snapshots`` are deleted — the default 2 keeps the snapshot
     just read (covers foreachBatch's at-least-once replay of the last
-    uncommitted batch) and the one just written. ``None`` disables
+    uncommitted batch) and the one just written. Values below 2 are
+    clamped to 2: retaining only the newest snapshot would delete the
+    one a replayed batch must re-read, so 1 is never honored.
+    ``None`` disables
     cleanup (debugging/audit chains); an Iceberg state table replaces
     the whole copy-per-batch layout with batch-sized deltas.
 

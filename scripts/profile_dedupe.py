@@ -30,7 +30,7 @@ from deduplidog_spark.session import get_spark
 
 
 def main() -> None:
-    corpus_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_corpus_40000"
+    corpus_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_corpus_200000"
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     spark = get_spark(
         "profile", master=f"local[{cores}]", shuffle_partitions=cores,
@@ -66,8 +66,9 @@ def main() -> None:
     ).localCheckpoint()
     mark("signatures+bands_ckpt")
 
-    winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
-    reps = slim.join(winners, "fid", "left_semi")
+    from deduplidog_spark.operators.exact import collapse_sha_reps
+
+    reps = collapse_sha_reps(slim).localCheckpoint()
     band_rows = mh.explode_bands(reps)
     pairs, dropped = lsh_candidate_pairs(band_rows, cfg)
     n_pairs = pairs.count()

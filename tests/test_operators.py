@@ -216,6 +216,7 @@ def test_media_chunk_join_covers_full_radius(spark):
         (1, "image", 8, sgn(spread4), None, False, None),
         (2, "image", 8, sgn(spread8), None, False, None),
         (3, "image", 8, sgn(far), None, False, None),
+        (4, "image", 8, sgn(base), None, False, None),  # exact copy of 0
     ]
     feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
     got4 = {
@@ -229,6 +230,14 @@ def test_media_chunk_join_covers_full_radius(spark):
     }
     assert (0, 2) in got8, "distance-8 pair straddling all old chunks missed"
     assert (0, 3) not in got8, "distance-10 pair must stay outside radius 8"
+    # max_hamming=0 (exact phash match): q=1 means ONE full-width chunk
+    # whose mask is the signed all-ones long — the unsigned 2^64-1
+    # literal overflowed at plan build before the hamming_chunks kernel
+    got0 = {
+        (r.id_a, r.id_b)
+        for r in near_dup_media_pairs(feats, max_hamming=0).collect()
+    }
+    assert got0 == {(0, 4)}, "radius 0 must pair exactly the identical phashes"
 
 
 def test_phash_exact_with_quarantined_rows_in_batch(spark):
