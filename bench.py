@@ -189,6 +189,7 @@ def main() -> None:
         "passage_dedup",
         "decontaminate",
         "curation",
+        "fork_pairs",
         "token_count",
         "quality",
     ):
