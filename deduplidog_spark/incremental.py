@@ -342,8 +342,7 @@ def incremental_dedupe(
         # star edges; only genuinely new content enters LSH
         seen = state.files.filter(F.col("sha").isNotNull()).select("sha").distinct()
         fresh = new_slim.join(F.broadcast(seen), "sha", "left_anti")
-        winners = fresh.groupBy("sha").agg(F.min("fid").alias("fid"))
-        reps = fresh.join(winners, "fid", "left_semi")
+        reps = collapse_sha_reps(fresh)
         # the BASE side must be sha-collapsed too, exactly like
         # near_dup_edges does before banding: byte-identical base copies
         # share every band hash, so an uncollapsed boilerplate group

@@ -65,8 +65,9 @@ def run_phases(cores: int, corpus_dir: str) -> dict[str, float]:
     out["signatures_bands"] = round(time.time() - t, 2)
 
     t = time.time()
-    winners = slim.groupBy("sha").agg(F.min("fid").alias("fid"))
-    reps = slim.join(winners, "fid", "left_semi")
+    from deduplidog_spark.operators.exact import collapse_sha_reps
+
+    reps = collapse_sha_reps(slim)
     pairs, _ = lsh_candidate_pairs(mh.explode_bands(reps), cfg)
     pairs = pairs.localCheckpoint()
     out["lsh_candidates"] = round(time.time() - t, 2)
