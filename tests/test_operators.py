@@ -192,6 +192,52 @@ def test_multimodal_feature_plumbing(spark):
     near_dup_media_pairs(feats).count()
 
 
+def test_hamming_chunks_pigeonhole_property(spark):
+    """Randomized pin of the hamming_chunks recall guarantee through
+    the REAL Spark expression (not a Python replica): for any pair
+    within Hamming distance max_hamming, the q = max_hamming+1 chunk
+    arrays must share at least one (index, value) — the equi-join's
+    recall-1.0 contract. 400 seeded random pairs across every radius
+    0..8 plus the degenerate q=1 full-width-mask case, evaluated in
+    one Spark job per radius."""
+    import random
+
+    from deduplidog_spark.operators.simhash import hamming_chunks
+
+    rng = random.Random(20260817)
+
+    def sgn(u):
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    for max_hamming in (0, 1, 3, 4, 8):
+        rows = []
+        for i in range(80):
+            base = rng.getrandbits(64)
+            d = rng.randint(0, max_hamming)
+            other = base
+            for b in rng.sample(range(64), d):
+                other ^= 1 << b
+            rows.append((i, sgn(base), sgn(other)))
+        df = spark.createDataFrame(rows, "i long, x long, y long")
+        shared = df.select(
+            "i",
+            F.arrays_overlap(
+                F.transform(
+                    hamming_chunks(F.col("x"), max_hamming),
+                    lambda v, j: F.struct(j.alias("j"), v.alias("v")),
+                ),
+                F.transform(
+                    hamming_chunks(F.col("y"), max_hamming),
+                    lambda v, j: F.struct(j.alias("j"), v.alias("v")),
+                ),
+            ).alias("ok"),
+        )
+        misses = [r.i for r in shared.collect() if not r.ok]
+        assert not misses, (
+            f"pigeonhole violated at max_hamming={max_hamming}: {misses}"
+        )
+
+
 def test_media_chunk_join_covers_full_radius(spark):
     """Regression (round-2 VERDICT weak #1): with a fixed 4×16-bit
     chunk split, a distance-4 pair whose differing bits land in FOUR
