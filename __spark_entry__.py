@@ -2017,7 +2017,8 @@ def oracle_sql() -> dict[str, str]:
                     SELECT DISTINCT source AS repo FROM d
                     UNION ALL SELECT 'src3_fork'
                     UNION ALL SELECT 'src5_part')),
-            rs AS (SELECT DISTINCT repo, sha256(text) AS sha FROM corpus),
+            rs AS (SELECT DISTINCT repo, sha256(text) AS sha FROM corpus
+                   WHERE text IS NOT NULL),
             hot AS (SELECT sha FROM rs GROUP BY sha HAVING count(*) > 8),
             pruned AS (
                 SELECT * FROM rs WHERE sha NOT IN (SELECT sha FROM hot)),

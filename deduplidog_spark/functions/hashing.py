@@ -18,35 +18,40 @@ _B = np.uint64(1099511628211)  # FNV-64 prime as the polynomial base
 _MERSENNE31 = np.uint64(2147483647)  # 2^31 - 1
 
 
-def _powers(k: int) -> np.ndarray:
-    # Python-int exponentiation masked to 64 bits (mod 2^64 semantics
-    # without numpy overflow warnings)
-    base = int(_B)
-    vals = []
-    acc = 1
-    for _ in range(k):
-        vals.append(acc)
-        acc = (acc * base) & 0xFFFFFFFFFFFFFFFF
-    return np.array(vals, dtype=np.uint64)
-
-
-_POW_CACHE: dict[int, np.ndarray] = {}
+# modular inverse of the odd base mod 2^64: B * _B_INV ≡ 1, so window
+# hashes can be recovered from prefix sums without per-window slices
+_B_INV = np.uint64(pow(int(_B), -1, 1 << 64))
 
 
 def shingle_hashes_u64(text: str, k: int) -> np.ndarray:
     """All k-byte-shingle rolling hashes of ``text`` (with multiplicity),
     uint64. A text shorter than k yields one hash of the whole text so
-    byte-identical short strings still collide."""
+    byte-identical short strings still collide.
+
+    O(n) time and memory for ANY k (prefix-sum form of the polynomial
+    hash): window i's hash sum_j b[i+j]·B^j equals
+    (C[i+k] − C[i]) · B^(−i) with C the cumulative sum of b[j]·B^j —
+    everything elementwise uint64 (mod 2^64; B odd ⇒ invertible). The
+    earlier sliding_window_view formulation materialized an
+    (n−k+1) × k matrix: fine for shingle-sized k, an O(n²)-byte
+    allocation when the LCS binary search probes k ~ n/2 on large
+    documents. Bit-identical output to the windowed form."""
     b = np.frombuffer(text.encode("utf-8", errors="surrogatepass"), dtype=np.uint8)
-    if len(b) == 0:
+    n = len(b)
+    if n == 0:
         return np.zeros(1, dtype=np.uint64)
-    if len(b) < k:
-        k = len(b)
-    pw = _POW_CACHE.get(k)
-    if pw is None:
-        pw = _POW_CACHE.setdefault(k, _powers(k))
-    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    h = (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
+    if n < k:
+        k = n
+    # pw[i] = B^i, ipw[i] = B^(-i), i in [0, n] — wrapping uint64 scans
+    pw = np.ones(n + 1, dtype=np.uint64)
+    np.multiply.accumulate(np.full(n, _B, dtype=np.uint64), out=pw[1:])
+    ipw = np.ones(n - k + 2, dtype=np.uint64)
+    np.multiply.accumulate(
+        np.full(n - k + 1, _B_INV, dtype=np.uint64), out=ipw[1:]
+    )
+    c = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(b.astype(np.uint64) * pw[:n], out=c[1:])
+    h = (c[k:] - c[: n - k + 1]) * ipw[: n - k + 1]
     # avalanche (xorshift-multiply) so low-entropy inputs spread
     h ^= h >> np.uint64(33)
     h *= np.uint64(0xFF51AFD7ED558CCD)
@@ -121,17 +126,24 @@ def oph_signature(shingle_hashes_u64: np.ndarray, num_perm: int) -> np.ndarray:
     return sig.astype(np.int64)
 
 
-def simhash64(shingle_hashes: np.ndarray) -> int:
+def simhash64(shingle_hashes: np.ndarray, chunk: int = 1 << 16) -> int:
     """64-bit SimHash over (multiplicity-weighted) shingle hashes —
     the analog of the reference's 64-bit average_hash (helpers.py:44-53).
-    Returned as a signed int64 (Spark LongType)."""
-    if len(shingle_hashes) == 0:
+    Returned as a signed int64 (Spark LongType). The (m × 64) bit
+    matrix is accumulated in ``chunk``-row blocks (≤ 32 MB transient):
+    a multi-MB document has millions of shingles, and one shot would
+    materialize GBs inside the Arrow batch."""
+    m = len(shingle_hashes)
+    if m == 0:
         return 0
-    bits = (
-        (shingle_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-        & np.uint64(1)
-    ).astype(np.int64)
-    votes = 2 * bits.sum(axis=0) - len(shingle_hashes)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    ones = np.zeros(64, dtype=np.int64)
+    for lo in range(0, m, chunk):
+        blk = shingle_hashes[lo : lo + chunk]
+        ones += ((blk[:, None] >> shifts) & np.uint64(1)).sum(
+            axis=0, dtype=np.int64
+        )
+    votes = 2 * ones - m
     h = np.uint64(0)
     for i in range(64):
         if votes[i] > 0:

@@ -28,7 +28,14 @@ def repo_profiles(files: DataFrame) -> DataFrame:
 
     def profile(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        distinct = pdf["sha"].nunique()
+        # quarantined rows carry NULL sha (ingest): they are neither
+        # distinct content nor duplicates — dup_ratio is defined over
+        # the hashed rows only (nunique() skips NaN but a plain len()
+        # would not, silently inflating the ratio for any repo with
+        # unreadable files)
+        hashed = pdf["sha"].dropna()
+        n_hashed = len(hashed)
+        distinct = hashed.nunique()
         return pd.DataFrame(
             {
                 "repo": [pdf["repo"].iloc[0]],
@@ -41,7 +48,9 @@ def repo_profiles(files: DataFrame) -> DataFrame:
                 "median_size": [round(float(pdf["size"].median()), 4)],
                 "p90_size": [round(float(pdf["size"].quantile(0.9)), 4)],
                 "distinct_sha": [distinct],
-                "dup_ratio": [round(1.0 - distinct / n, 4) if n else 0.0],
+                "dup_ratio": [
+                    round(1.0 - distinct / n_hashed, 4) if n_hashed else 0.0
+                ],
             }
         )
 
@@ -83,7 +92,9 @@ def fork_pairs(
       sorted owner lists expand in-partition via the JVM
       transform/slice expression, then one partial-aggregated count
       per (repo_a, repo_b);
-    - repo sizes are one row per repo → both size joins broadcast.
+    - repo sizes are one row per repo → AQE broadcasts the size joins
+      when the repo count fits (no forced hint: at 10^8+ repos the
+      table is itself too big to ship to the driver).
 
     ``materialize`` is the caller's checkpoint hook (pass the
     pipeline's parquet ``_ckpt`` on long runs): the slim pruned
@@ -96,7 +107,16 @@ def fork_pairs(
     """
     if materialize is None:
         materialize = lambda d: d  # noqa: E731
-    rs = files.select("repo", "sha").distinct()
+    # NULL sha (quarantined / unreadable content) must not count as
+    # shared content — and it CANNOT be removed by the hot-sha guard
+    # below, because a left_anti equality join never matches NULL keys:
+    # without this filter, every repo holding one unreadable file
+    # "shares" the NULL sha, and a corpus-wide NULL group would expand
+    # O(repos²) pair structs from a single owner row. Same convention
+    # as exact.exact_dup_pairs.
+    rs = (
+        files.filter(F.col("sha").isNotNull()).select("repo", "sha").distinct()
+    )
     hot = (
         rs.groupBy("sha")
         .agg(F.count("*").alias("n_repos"))
@@ -128,12 +148,16 @@ def fork_pairs(
         .filter(F.col("shared") >= min_shared)
     )
     pairs = (
+        # sizes is one row per repo — corpus-cardinality at 10^12-file
+        # scale, so no forced broadcast (a F.broadcast hint bypasses
+        # AQE's size check and is a driver-OOM cliff at 10^8 repos);
+        # AQE broadcasts it when it actually fits, sort-merge otherwise
         inter.join(
-            F.broadcast(sizes.withColumnRenamed("repo", "repo_a").withColumnRenamed("n", "n_a")),
+            sizes.withColumnRenamed("repo", "repo_a").withColumnRenamed("n", "n_a"),
             "repo_a",
         )
         .join(
-            F.broadcast(sizes.withColumnRenamed("repo", "repo_b").withColumnRenamed("n", "n_b")),
+            sizes.withColumnRenamed("repo", "repo_b").withColumnRenamed("n", "n_b"),
             "repo_b",
         )
         .withColumn(

@@ -34,7 +34,12 @@ def l2_norm(a):
 
 
 def cosine(a, b):
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity, zero-norm-safe: a zero vector (truncation
+    artifact, padding row) scores 0.0 against everything instead of
+    raising DIVIDE_BY_ZERO under Spark 4's default ANSI mode — which
+    would kill the whole search job for one degenerate embedding."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0.0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
