@@ -2233,8 +2233,7 @@ def oracle_sql() -> dict[str, str]:
         "numeric_delta_gate": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       CASE WHEN len(trim(text)) = 0 THEN 0
-                            ELSE len(string_split_regex(trim(text), '\s+')) END
+                       len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
                            AS n_tok
                 FROM documents)
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
@@ -2440,13 +2439,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
         "token_count": """
             SELECT doc_id,
-                   CASE WHEN len(trim(text)) = 0 THEN 0
-                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens,
                    len(text) AS n_chars_actual
             FROM documents
         """,
@@ -2459,8 +2457,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS lang_id
             FROM (
                 SELECT doc_id,
-                       CASE WHEN len(trim(text)) = 0 THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+                       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tok,
                        len(regexp_extract_all(text,
                            '(?i)\\b(the|a|an|of|to|in|and|is|it|for|on|with)\\b')) AS hits
                 FROM documents)
@@ -2473,10 +2470,9 @@ def oracle_sql() -> dict[str, str]:
                          * 10000) AS BIGINT) AS quality_bp
             FROM (
                 SELECT doc_id, len(text) AS n_chars_x,
-                       CASE WHEN len(trim(text)) = 0 THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+                       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tok,
                        len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
-                       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct
+                       len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS n_distinct
                 FROM documents)
         """,
         "ngram_jaccard": """
@@ -2556,7 +2552,7 @@ def oracle_sql() -> dict[str, str]:
                            range(0, CAST(ceil(len(w)/20.0) AS BIGINT)),
                            i -> md5(array_to_string(
                                list_slice(w, i*20+1, i*20+20), ' ')))) AS passage_hash
-                FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
                       FROM documents WHERE len(trim(text)) > 0)),
             c AS (SELECT passage_hash, count(*) AS n FROM p GROUP BY 1)
             SELECT p.doc_id,
@@ -2570,7 +2566,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate": """
             WITH w AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
                 FROM documents WHERE len(trim(text)) > 0),
             g AS (
                 SELECT doc_id, unnest(
@@ -2607,7 +2603,7 @@ def oracle_sql() -> dict[str, str]:
                                i -> array_to_string(list_slice(w, i, i + 1), ' '))
                            ELSE [] END AS g
                     FROM (SELECT doc_id, coalesce(text, '') AS text,
-                                 string_split_regex(trim(coalesce(text, '')), '\\s+') AS w
+                                 list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t <> '') AS w
                           FROM documents)))
         """,
         "vocab_topk": """
@@ -2618,7 +2614,7 @@ def oracle_sql() -> dict[str, str]:
                         range(1, len(w) - 1 + 1),
                         i -> array_to_string(list_slice(w, i, i + 1), ' '))
                     ELSE [] END) AS gram
-                FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+                FROM (SELECT list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
                       FROM documents))
             GROUP BY gram
             ORDER BY n_occurrences DESC, gram ASC
@@ -2648,15 +2644,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 29 != 0),
             stats AS (
                 SELECT doc_id, is_q,
-                       CASE WHEN len(trim(text)) = 0 THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+')) END
+                       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
                            AS n_tokens,
                        CAST(floor(least(CAST(len(text) AS DOUBLE)/200.0, 1.0)
                              * (1.0 - CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                                       / greatest(len(text), 1))
-                             * (0.5 + 0.5*CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
-                                      / greatest(CASE WHEN len(trim(text)) = 0 THEN 0
-                                                 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1))
+                             * (0.5 + 0.5*CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS DOUBLE)
+                                      / greatest(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 1))
                              * 10000) AS BIGINT) AS quality_bp,
                        CASE WHEN n_g > 0
                             THEN round((n_g - n_gd) * 1.0 / n_g, 6)
@@ -2671,10 +2665,10 @@ def oracle_sql() -> dict[str, str]:
                                    i -> array_to_string(list_slice(w, i, i + 1), ' '))
                                ELSE [] END AS g
                         FROM (SELECT doc_id, is_q, text,
-                                     string_split_regex(trim(text), '\\s+') AS w
+                                     list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
                               FROM corp)))),
             wg AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
                 FROM documents WHERE len(trim(text)) > 0),
             gg AS (
                 SELECT doc_id, unnest(
@@ -2690,7 +2684,7 @@ def oracle_sql() -> dict[str, str]:
             qk AS (
                 SELECT s.doc_id,
                        md5(array_to_string(list_slice(
-                           string_split_regex(trim(c.text), '\\s+'), 1, 20), ' '))
+                           list_filter(string_split_regex(c.text, '\\s+'), t -> t <> ''), 1, 20), ' '))
                            AS fp,
                        s.quality_bp
                 FROM stats s JOIN corp c USING (doc_id)),
@@ -2724,7 +2718,7 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
                 SELECT doc_id,
                        md5(array_to_string(list_slice(
-                           string_split_regex(trim(text), '\\s+'), 1, 20), ' '))
+                           list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), 1, 20), ' '))
                            AS cluster_fp,
                        CAST(floor(least(CAST(n_chars_x AS DOUBLE)/200.0, 1.0)
                              * (1.0 - CAST(punct AS DOUBLE)/greatest(n_chars_x, 1))
@@ -2732,10 +2726,9 @@ def oracle_sql() -> dict[str, str]:
                              * 10000) AS BIGINT) AS quality_bp
                 FROM (
                     SELECT doc_id, text, len(text) AS n_chars_x,
-                           CASE WHEN len(trim(text)) = 0 THEN 0
-                                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+                           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tok,
                            len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
-                           len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                           len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))
                                AS n_distinct
                     FROM documents)),
             r AS (

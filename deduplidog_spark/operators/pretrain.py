@@ -23,13 +23,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import content_fingerprint, quality_score, token_count
+from .textstats import content_fingerprint, quality_score, token_count, ws_tokens
 
 
 def words_of(text: Column) -> Column:
     """Whitespace tokenization shared by every operator here (and by
-    the DuckDB oracles via string_split_regex)."""
-    return F.split(F.trim(text), r"\s+")
+    the DuckDB oracles via list_filter(string_split_regex(...))):
+    boundary-empty tokens are removed — see textstats.ws_tokens for
+    why trim alone is not enough."""
+    return ws_tokens(text)
 
 
 def passage_table(
@@ -52,7 +54,10 @@ def passage_table(
         lambda i: F.md5(F.concat_ws(" ", F.slice(w, i * passage_words + 1, passage_words))),
     )
     return (
-        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        # size(w) > 0, not length(trim) > 0: a '\n'-only doc passes the
+        # trim test but has zero tokens — n_pass = 0 would make the
+        # descending sequence(0, -1) emit bogus passage indices
+        docs.filter(F.size(words_of(F.col(text_col))) > 0)
         .select(F.col(id_col), F.posexplode(passages).alias("passage_idx", "passage_hash"))
     )
 

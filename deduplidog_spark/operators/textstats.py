@@ -15,11 +15,19 @@ from pyspark.sql import functions as F
 _EN_STOPWORDS = r"(?i)\b(the|a|an|of|to|in|and|is|it|for|on|with)\b"
 
 
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens with boundary empties removed. ``F.trim``
+    strips only ASCII spaces, so splitting trimmed text still yields a
+    phantom '' token when text starts or ends with \\n or \\t —
+    ubiquitous in source code (trailing newline), where it would shift
+    every token count and passage boundary by one. Filtering the
+    empties is exact for any whitespace."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (BPE-ish refinement in tokenize_bpe_ish)."""
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(text), r"\s+"))
-    )
+    return F.size(ws_tokens(text))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -59,7 +67,7 @@ def quality_score(text: Column) -> Column:
     toks = token_count(text)
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1))
-    distinct_ratio = F.size(F.array_distinct(F.split(F.trim(text), r"\s+"))).cast(
+    distinct_ratio = F.size(F.array_distinct(ws_tokens(text))).cast(
         "double"
     ) / F.greatest(toks, F.lit(1))
     length_term = F.least(n_chars.cast("double") / 200.0, F.lit(1.0))
@@ -71,7 +79,11 @@ def content_fingerprint(text: Column) -> Column:
     """Normalized-content fingerprint: md5 over casefolded,
     whitespace-collapsed text — catches formatting-only duplicates that
     sha256(content) misses."""
-    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    # collapse BEFORE trim: trim strips only spaces, so leading \n/\t
+    # must first become a space for the trim to remove it — otherwise
+    # '\nfoo' and 'foo' fingerprint differently, which is exactly the
+    # formatting-only difference this fingerprint exists to erase
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(normalized)
 
 

@@ -159,3 +159,46 @@ def test_curate_reason_precedence_and_keep(spark):
     assert out[6].drop_reason == "duplicate"   # lower quality than doc 1 twin
     # precedence: a doc failing multiple stages reports the FIRST one
     assert out[4].dup_2gram_fraction > 0.5 and out[4].n_tokens >= 5
+
+
+def test_whitespace_boundary_tokenization(spark):
+    """Boundary whitespace must not mint phantom tokens: F.trim strips
+    only ASCII spaces, so '\\nfoo' used to tokenize as ['', 'foo'] —
+    shifting every token count and passage boundary for source files
+    with a leading/trailing newline (i.e. nearly all of them). The
+    fingerprint must likewise erase boundary \\n/\\t (it exists to
+    catch formatting-only duplicates)."""
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.operators.pretrain import passage_table
+    from deduplidog_spark.operators.textstats import (
+        content_fingerprint,
+        token_count,
+    )
+
+    body = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "\n" + body + "\n"), (3, "\n"), (4, "")],
+        "doc_id long, text string",
+    )
+    toks = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    assert toks == {1: 40, 2: 40, 3: 0, 4: 0}
+    fps = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", content_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[2], "boundary newline is a formatting-only difference"
+    p = passage_table(docs)
+    rows = p.groupBy("doc_id").count().collect()
+    counts = {r.doc_id: r["count"] for r in rows}
+    # identical passage boundaries for 1 and 2; whitespace-only and
+    # empty docs emit no rows (and no bogus descending-sequence rows)
+    assert counts == {1: 2, 2: 2}
+    h1 = {r.passage_hash for r in p.filter(F.col("doc_id") == 1).collect()}
+    h2 = {r.passage_hash for r in p.filter(F.col("doc_id") == 2).collect()}
+    assert h1 == h2
