@@ -2686,12 +2686,18 @@ def oracle_sql() -> dict[str, str]:
                        md5(array_to_string(list_slice(
                            list_filter(string_split_regex(c.text, '\\s+'), t -> t <> ''), 1, 20), ' '))
                            AS fp,
-                       s.quality_bp
-                FROM stats s JOIN corp c USING (doc_id)),
+                       s.quality_bp,
+                       (NOT s.is_q AND s.n_tokens >= 25
+                        AND s.quality_bp >= 5000
+                        AND s.dup_2gram_fraction <= 0.10
+                        AND cm.doc_id IS NULL) AS survives
+                FROM stats s JOIN corp c USING (doc_id)
+                LEFT JOIN contam cm USING (doc_id)),
             rk AS (
                 SELECT doc_id,
                        row_number() OVER (PARTITION BY fp
-                           ORDER BY quality_bp DESC, doc_id ASC) AS rn,
+                           ORDER BY survives DESC, quality_bp DESC,
+                                    doc_id ASC) AS rn,
                        count(*) OVER (PARTITION BY fp) AS n
                 FROM qk),
             losers AS (SELECT doc_id FROM rk WHERE n > 1 AND rn > 1)

@@ -246,10 +246,14 @@ def curate(
 
     (quarantined = NULL text; contaminated = shares an n-gram with the
     benchmark set; duplicate = non-keeper of a multi-doc cluster under
-    ``cluster_key``, keeper = highest quality). Election and
-    contamination are evaluated over the full corpus, not the
-    survivors of earlier stages — the standard order-independent
-    formulation.
+    ``cluster_key``). Election and contamination are evaluated over
+    the full corpus, not the survivors of earlier stages — the
+    standard order-independent formulation — but the keeper is the
+    highest-quality member AMONG THOSE PASSING EVERY OTHER GATE (the
+    full-corpus quality order only breaks ties when no member
+    survives): otherwise a contaminated/too-short keeper would orphan
+    its losers as 'duplicate' and the content would silently vanish
+    from the corpus even though a clean copy existed.
 
     Shape at scale: per-row column expressions plus two broadcast-able
     joins (contaminated ids, duplicate non-keeper ids — both small) —
@@ -275,7 +279,17 @@ def curate(
         base = base.join(contaminated, id_col, "left")
     else:
         base = base.withColumn("is_contaminated", F.lit(None).cast("boolean"))
-    dups = quality_keepers(corpus, id_col, text_col, key=cluster_key).filter(
+    survives_other_gates = (
+        ~F.col("is_quarantined")
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_bp") >= min_quality_bp)
+        & (F.col("dup_2gram_fraction") <= max_dup_2gram)
+        & ~F.coalesce(F.col("is_contaminated"), F.lit(False))
+    )
+    prefer = base.select(F.col(id_col), survives_other_gates.alias("_prefer"))
+    dups = quality_keepers(
+        corpus, id_col, text_col, key=cluster_key, prefer=prefer
+    ).filter(
         ~F.col("is_keeper")
     ).select(F.col(id_col), F.lit(True).alias("is_dup_loser"))
     base = base.join(dups, id_col, "left")
@@ -302,6 +316,7 @@ def quality_keepers(
     id_col: str = "doc_id",
     text_col: str = "text",
     key: Column | None = None,
+    prefer: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-preferring keeper election over duplicate clusters:
     within each cluster-key group (default: content_fingerprint —
@@ -317,6 +332,10 @@ def quality_keepers(
     NULL text is treated as '' (quality 0, md5('') fingerprint) so the
     window ordering stays engine-independent — NULL ordering defaults
     differ between Spark (last on desc) and SQL engines (first).
+
+    ``prefer`` — optional (id, _prefer boolean) table ranked ABOVE
+    quality in the election (missing ids count as False). curate()
+    passes the set of docs that survive its other gates.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(
@@ -324,9 +343,17 @@ def quality_keepers(
         (key if key is not None else content_fingerprint(t)).alias("cluster_fp"),
         quality_score(t).alias("quality_bp"),
     )
-    w = Window.partitionBy("cluster_fp").orderBy(
-        F.col("quality_bp").desc(), F.col(id_col).asc()
-    )
+    order = [F.col("quality_bp").desc(), F.col(id_col).asc()]
+    if prefer is not None:
+        # eligibility-first election (curate passes the docs that
+        # survive its other gates): a keeper that is itself dropped
+        # would orphan its losers as 'duplicate' and silently erase
+        # the content from the corpus even when a clean copy existed
+        base = base.join(prefer, id_col, "left").withColumn(
+            "_prefer", F.coalesce(F.col("_prefer"), F.lit(False))
+        )
+        order = [F.col("_prefer").desc()] + order
+    w = Window.partitionBy("cluster_fp").orderBy(*order)
     cw = Window.partitionBy("cluster_fp")
     return (
         base.withColumn("_rn", F.row_number().over(w))
@@ -334,5 +361,5 @@ def quality_keepers(
         .filter(F.col("_n") > 1)
         .withColumn("is_keeper", F.col("_rn") == 1)
         .withColumn("keeper_id", F.first(F.col(id_col)).over(w))
-        .drop("_rn", "_n")
+        .drop("_rn", "_n", "_prefer")
     )

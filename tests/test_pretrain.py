@@ -202,3 +202,43 @@ def test_whitespace_boundary_tokenization(spark):
     h1 = {r.passage_hash for r in p.filter(F.col("doc_id") == 1).collect()}
     h2 = {r.passage_hash for r in p.filter(F.col("doc_id") == 2).collect()}
     assert h1 == h2
+
+
+def test_curate_keeper_prefers_surviving_copy(spark):
+    """A cluster whose highest-quality member is itself dropped
+    (contaminated) must elect a surviving copy as keeper: otherwise
+    every copy of the content is dropped — losers as 'duplicate',
+    keeper as 'contaminated' — and the content silently vanishes even
+    though a clean copy existed."""
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.operators.pretrain import (
+        curate,
+        head_passage_fingerprint,
+    )
+
+    head = " ".join(f"h{i}" for i in range(20))
+    dirty_tail = " ".join(f"bench{i}" for i in range(30))
+    clean_tail = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            # same head passage => same cluster; doc 1 longer => higher
+            # quality and would win the old quality-only election
+            (1, f"{head} {dirty_tail}"),
+            (2, f"{head} {clean_tail}"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, dirty_tail)], "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in curate(
+            docs, bench, min_tokens=5, min_quality_bp=100, max_dup_2gram=0.5,
+            cluster_key=head_passage_fingerprint(F.col("text"), 20),
+        ).collect()
+    }
+    assert out[1].quality_bp > out[2].quality_bp, "setup: dirty copy outranks"
+    assert out[1].drop_reason == "contaminated"
+    assert out[2].keep and out[2].drop_reason is None, (
+        "surviving copy must be elected keeper, not dropped as duplicate"
+    )
