@@ -51,16 +51,10 @@ def lsh_candidate_pairs(
     storage via localCheckpoint)."""
     if materialize is None:
         materialize = lambda d: d.localCheckpoint()  # noqa: E731
-    counts = band_rows.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_size")
-    )
-    dropped_report = counts.filter(
-        F.col("bucket_size") > cfg.max_bucket_size
-    )  # logged, per standard LSH practice — SURVEY §4.3
-    pruned = band_rows.join(
-        F.broadcast(dropped_report.select("band_id", "band_hash")),
-        ["band_id", "band_hash"],
-        "left_anti",
+    # oversized buckets dropped and *logged*, per standard LSH practice
+    # (SURVEY §4.3) — shared skew-cap kernel below
+    pruned, dropped_report = drop_oversized_groups(
+        band_rows, ["band_id", "band_hash"], cfg.max_bucket_size, "bucket_size"
     )
     buckets = materialize(
         pruned.groupBy("band_id", "band_hash")
@@ -101,3 +95,32 @@ def salt_column(key, unique_col, buckets: int):
         key.alias("key"),
         F.pmod(F.xxhash64(unique_col), F.lit(buckets)).cast("int").alias("salt"),
     )
+
+
+def drop_oversized_groups(
+    df: DataFrame, keys: list[str], cap: int, size_col: str = "group_size"
+) -> tuple[DataFrame, DataFrame]:
+    """THE skew-cap kernel: count pre-pass + broadcast anti-join.
+
+    Removes groups larger than ``cap`` BEFORE any per-group state
+    (bucket lists, inverted lists, owner lists) materializes. The
+    groupBy count partial-aggregates map-side — its shuffle carries
+    ~one row per distinct key per partition — and the oversized key
+    set is tiny by construction, so it broadcasts. The window-count
+    alternative shuffles the full table on exactly the skewed key the
+    cap exists to guard (windows don't partial-aggregate).
+
+    One kernel shared by the LSH band stage, both ANN paths, and
+    fork detection — the cap semantics must agree everywhere or the
+    dropped-group reports stop being comparable across operators.
+
+    Returns (pruned, oversized_report); the report carries the group
+    keys plus ``size_col``.
+    """
+    oversized = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias(size_col))
+        .filter(F.col(size_col) > cap)
+    )
+    pruned = df.join(F.broadcast(oversized.select(*keys)), keys, "left_anti")
+    return pruned, oversized

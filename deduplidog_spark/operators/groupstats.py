@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deduplidog_spark.operators.candidates import drop_oversized_groups
+
 PROFILE_SCHEMA = (
     "repo string, n_files long, total_bytes long, median_size double, "
     "p90_size double, distinct_sha long, dup_ratio double"
@@ -117,14 +119,8 @@ def fork_pairs(
     rs = (
         files.filter(F.col("sha").isNotNull()).select("repo", "sha").distinct()
     )
-    hot = (
-        rs.groupBy("sha")
-        .agg(F.count("*").alias("n_repos"))
-        .filter(F.col("n_repos") > max_sha_repos)
-    )
-    pruned = materialize(
-        rs.join(F.broadcast(hot.select("sha")), "sha", "left_anti")
-    )
+    pruned, hot = drop_oversized_groups(rs, ["sha"], max_sha_repos, "n_repos")
+    pruned = materialize(pruned)
     sizes = pruned.groupBy("repo").agg(F.count("*").alias("n"))
     owners = (
         pruned.groupBy("sha")

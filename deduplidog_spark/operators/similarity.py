@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deduplidog_spark.operators.candidates import drop_oversized_groups
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -130,19 +132,12 @@ def ivf_topk(
         )
 
     lists = assign(corpus, "neighbor_id", 1)
-    # skew guard via count pre-pass + broadcast anti-join (NOT a window
-    # count: windows don't partial-aggregate map-side and would shuffle
-    # every corpus assignment row on exactly the skewed cid the cap
-    # exists to guard). The count shuffle carries ~one row per distinct
-    # cid per partition; the oversized-cid set is tiny by construction
-    # and broadcasts. Same pattern as candidates.lsh_candidate_pairs.
-    oversized_lists = (
-        lists.groupBy("cid")
-        .agg(F.count("*").alias("list_size"))
-        .filter(F.col("list_size") > max_list)
-    )
-    lists = lists.join(
-        F.broadcast(oversized_lists.select("cid")), "cid", "left_anti"
+    # skew guard: the shared count-pre-pass + broadcast-anti-join
+    # kernel (candidates.drop_oversized_groups) — NOT a window count,
+    # which would shuffle every corpus assignment row on exactly the
+    # skewed cid the cap exists to guard
+    lists, _oversized_lists = drop_oversized_groups(
+        lists, ["cid"], max_list, "list_size"
     )
     probes = assign(queries, "query_id", n_probe)
     cand = (
@@ -255,20 +250,11 @@ def lsh_ann_topk(
         qb = qb.unionByName(p)
     for p in cb_parts[1:]:
         cb = cb.unionByName(p)
-    # hot-bucket cap via count pre-pass + broadcast anti-join — the
-    # window-count variant shuffled the full corpus band table on the
-    # exact skewed (tbl, bucket) key this cap guards against; the
-    # groupBy count partial-aggregates map-side and the oversized set
-    # broadcasts. Same pattern as candidates.lsh_candidate_pairs.
-    oversized = (
-        cb.groupBy("tbl", "ann_bucket")
-        .agg(F.count("*").alias("bucket_size"))
-        .filter(F.col("bucket_size") > max_bucket)
-    )
-    cb = cb.join(
-        F.broadcast(oversized.select("tbl", "ann_bucket")),
-        ["tbl", "ann_bucket"],
-        "left_anti",
+    # hot-bucket cap: the shared count-pre-pass + broadcast-anti-join
+    # kernel — per (tbl, bucket), so an oversized bucket is dropped
+    # for that table only
+    cb, _oversized = drop_oversized_groups(
+        cb, ["tbl", "ann_bucket"], max_bucket, "bucket_size"
     )
     cand = (
         qb.join(cb, ["tbl", "ann_bucket"])
