@@ -1345,13 +1345,226 @@ def q_curation(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Composite suites (round 3): the driver certifies at most 50 queries
+# (CORRECTNESS_r02.json stopped at 50 of 63 registered), so the narrow
+# single-operator demos are tag-unioned into suites — every constituent
+# keeps FULL per-row value checking (its rows appear verbatim under a
+# `mode` tag, with keys cast to string and measures to bigint on BOTH
+# engines), and the total registry lands at exactly 50 so every §2
+# operator gets a driver-certified row. COVERAGE.md maps op → (query,
+# mode). The absorbed q_* functions stay as the suites' building blocks.
+
+
+def _ns():
+    return F.lit(None).cast("string")
+
+
+def _nb():
+    return F.lit(None).cast("bigint")
+
+
+def _nt():
+    return F.lit(None).cast("timestamp_ntz")
+
+
+def _union_all(parts):
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def q_join_modes(spark, sf_dir):
+    """Join-mode suite — J8 anti ('anti'), J8 semi ('semi'), J9/W1
+    first-match-per-group ('first_match'), J10/A4 multi-candidate
+    residue ('multi'), V6 time-band exists/semi ('time_semi'). Each
+    mode's rows are the original narrow query's rows, value-checked."""
+    m = lambda s: F.lit(s).alias("mode")  # noqa: E731
+    anti = q_anti_join(spark, sf_dir).select(
+        m("anti"), F.col("c_custkey").cast("string").alias("k1"),
+        _ns().alias("k2"), _nb().alias("v1"), _nb().alias("v2"),
+        _nt().alias("t1"),
+    )
+    semi = q_semi_join(spark, sf_dir).select(
+        m("semi"), F.col("c_custkey").cast("string").alias("k1"),
+        _ns().alias("k2"), _nb().alias("v1"), _nb().alias("v2"),
+        _nt().alias("t1"),
+    )
+    first = q_first_match(spark, sf_dir).select(
+        m("first_match"), F.col("o_custkey").cast("string").alias("k1"),
+        _ns().alias("k2"), F.col("o_orderkey").alias("v1"),
+        _nb().alias("v2"), F.col("o_orderdate").alias("t1"),
+    )
+    multi = q_multi_candidate(spark, sf_dir).select(
+        m("multi"), F.col("o_custkey").cast("string").alias("k1"),
+        F.col("n_candidates").cast("string").alias("k2"),
+        F.col("first_ok").alias("v1"), F.col("last_ok").alias("v2"),
+        _nt().alias("t1"),
+    )
+    tsem = q_time_proximity_semi(spark, sf_dir).select(
+        m("time_semi"), F.col("event_id").cast("string").alias("k1"),
+        _ns().alias("k2"), _nb().alias("v1"), _nb().alias("v2"),
+        _nt().alias("t1"),
+    )
+    return _union_all([anti, semi, first, multi, tsem])
+
+
+def q_window_suite(spark, sf_dir):
+    """Window/aggregate suite — W2/W3 top-k per group ('topk'), W4
+    min/max election over clusters ('minmax'), A6 distinct flatten
+    ('flatten')."""
+    m = lambda s: F.lit(s).alias("mode")  # noqa: E731
+    topk = q_topk_per_group(spark, sf_dir).select(
+        m("topk"), F.col("o_custkey").cast("string").alias("k1"),
+        F.col("rank").cast("string").alias("k2"),
+        F.col("o_orderkey").alias("v1"), F.col("total_c").alias("v2"),
+        _nt().alias("t1"), _nt().alias("t2"),
+    )
+    minmax = q_min_over_cluster(spark, sf_dir).select(
+        m("minmax"), F.col("user_id").cast("string").alias("k1"),
+        _ns().alias("k2"), F.col("n_events").alias("v1"),
+        _nb().alias("v2"), F.col("first_ts").alias("t1"),
+        F.col("last_ts").alias("t2"),
+    )
+    flat = q_distinct_flatten(spark, sf_dir).select(
+        m("flatten"), F.col("user_id").cast("string").alias("k1"),
+        F.col("event_types").alias("k2"), _nb().alias("v1"),
+        _nb().alias("v2"), _nt().alias("t1"), _nt().alias("t2"),
+    )
+    return _union_all([topk, minmax, flat])
+
+
+def q_report_suite(spark, sf_dir):
+    """Report suite — X6 size-warning gate ('warning_gate'), report
+    ORDER BY/LIMIT ('report_top'), A5 cluster common prefix
+    ('common_prefix')."""
+    m = lambda s: F.lit(s).alias("mode")  # noqa: E731
+    warn = q_warning_gate(spark, sf_dir).select(
+        m("warning_gate"), F.col("doc_id").cast("string").alias("k1"),
+        F.col("is_duplicate").cast("string").alias("k2"),
+        F.col("size_warning").cast("bigint").alias("v1"),
+        _nb().alias("v2"),
+    )
+    top = q_report_top(spark, sf_dir).select(
+        m("report_top"), F.col("o_orderkey").cast("string").alias("k1"),
+        _ns().alias("k2"), F.col("total_c").alias("v1"), _nb().alias("v2"),
+    )
+    pre = q_common_prefix(spark, sf_dir).select(
+        m("common_prefix"), F.col("component").alias("k1"),
+        F.col("common_prefix").alias("k2"),
+        F.col("n_members").alias("v1"), _nb().alias("v2"),
+    )
+    return _union_all([warn, top, pre])
+
+
+def q_key_norm_skew(spark, sf_dir):
+    """Key suite — K1-K6 name normalization ('norm_key') and the
+    salted skew-safe aggregation (SURVEY §4.3, 'salted_agg')."""
+    m = lambda s: F.lit(s).alias("mode")  # noqa: E731
+    norm = q_norm_key(spark, sf_dir).select(
+        m("norm_key"), F.col("p_partkey").cast("string").alias("k1"),
+        F.col("norm_key").alias("k2"), _nb().alias("v1"), _nb().alias("v2"),
+    )
+    salted = q_salted_agg(spark, sf_dir).select(
+        m("salted_agg"), F.col("event_type").alias("k1"), _ns().alias("k2"),
+        F.col("n_events").alias("v1"), F.col("sum_value_c").alias("v2"),
+    )
+    return _union_all([norm, salted])
+
+
+def q_simhash_suite(spark, sf_dir):
+    """SimHash suite — the 64-bit Arrow-UDF signatures value-checked
+    against the DuckDB HUGEINT kernel replay ('sig' rows, see
+    q_simhash_sigs) plus the chunk-join pair set vs the exhaustive
+    5-gram Jaccard truth ('pair' rows, see q_simhash_vs_truth)."""
+    sig = q_simhash_sigs(spark, sf_dir).select(
+        F.lit("sig").alias("mode"), F.col("path").alias("k1"),
+        _ns().alias("k2"), F.col("simhash").alias("v1"),
+        F.lit(None).cast("double").alias("j"),
+    )
+    pair = q_simhash_vs_truth(spark, sf_dir).select(
+        F.lit("pair").alias("mode"),
+        F.col("doc_id_a").cast("string").alias("k1"),
+        F.col("doc_id_b").cast("string").alias("k2"),
+        _nb().alias("v1"), F.col("jaccard5").alias("j"),
+    )
+    return sig.unionByName(pair)
+
+
+def q_media_features_suite(spark, sf_dir):
+    """Multimodal per-file suite — decode/quarantine plumbing rows
+    ('features', see q_media_features) plus the value-checked
+    perceptual hash through the real mapInPandas path ('phash', see
+    q_media_phash)."""
+    feats = q_media_features(spark, sf_dir).select(
+        F.lit("features").alias("mode"), "media_id", "kind", "n_bytes",
+        "quarantined", _nb().alias("phash"),
+    )
+    ph = q_media_phash(spark, sf_dir).select(
+        F.lit("phash").alias("mode"), "media_id", _ns().alias("kind"),
+        _nb().alias("n_bytes"),
+        F.lit(None).cast("boolean").alias("quarantined"), "phash",
+    )
+    return feats.unionByName(ph)
+
+
+def q_media_pairs_suite(spark, sf_dir):
+    """Perceptual-hash pair suite — chunk join at radius 3 where the
+    4×16-bit pigeonhole is exhaustive ('h3', see q_media_phash_pairs)
+    and at the production radius 8 with the quarantine plant ('h8',
+    see q_media_near_pairs)."""
+    h3 = q_media_phash_pairs(spark, sf_dir).select(
+        F.lit("h3").alias("mode"), "id_a", "id_b"
+    )
+    h8 = q_media_near_pairs(spark, sf_dir).select(
+        F.lit("h8").alias("mode"), "id_a", "id_b"
+    )
+    return h3.unionByName(h8)
+
+
+def q_symlink_suite(spark, sf_dir):
+    """X9 symlink-janitor suite — symlinks resolving under a prefix →
+    plan rows ('janitor', see q_symlink_janitor) and symlink-only
+    directories ('dirs', see q_symlink_dirs)."""
+    jan = q_symlink_janitor(spark, sf_dir).select(
+        F.lit("janitor").alias("mode"), "repo",
+        F.col("path").alias("k1"), F.col("target").alias("k2"),
+        F.col("action").alias("action"), _nb().alias("n"),
+    )
+    dirs = q_symlink_dirs(spark, sf_dir).select(
+        F.lit("dirs").alias("mode"), "repo", F.col("dir").alias("k1"),
+        _ns().alias("k2"), _ns().alias("action"),
+        F.col("n_files").alias("n"),
+    )
+    return jan.unionByName(dirs)
+
+
+def q_substring_suite(spark, sf_dir):
+    """Winnowing substring suite — per-doc fingerprint count + signed
+    min/max through the u64 kernel replay ('fp', see
+    q_winnow_fingerprints) and the capped-bucket candidate pairs
+    ('pair', see q_substring_pairs)."""
+    fp = q_winnow_fingerprints(spark, sf_dir).select(
+        F.lit("fp").alias("mode"), F.col("path").alias("k1"),
+        _ns().alias("k2"),
+        F.col("n_fingerprints").cast("bigint").alias("v1"),
+        F.col("fp_min").alias("v2"), F.col("fp_max").alias("v3"),
+    )
+    pair = q_substring_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("mode"), F.col("id_a").alias("k1"),
+        F.col("id_b").alias("k2"), _nb().alias("v1"), _nb().alias("v2"),
+        _nb().alias("v3"),
+    )
+    return fp.unionByName(pair)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (round 3): the driver certifies the FIRST 50
-    # entries (CORRECTNESS_r02.json stopped at 50 of 63), so flagship
-    # end-to-end modes and value-checked queries come first and 13
-    # narrow single-operator demos — every one already driver-certified
-    # green in CORRECTNESS_r02.json and replicated by
-    # scripts/check_oracle.py — are deliberately placed last.
+    # Registry policy (round 3): the driver certifies the FIRST 50
+    # entries (CORRECTNESS_r02.json stopped at 50 of 63 registered), so
+    # the narrow single-operator demos are tag-unioned into suites
+    # (q_join_modes … q_substring_suite above — full per-row value
+    # checking retained under a `mode` tag) and the registry is exactly
+    # 50 entries: every §2 operator gets a driver-certified row.
     return {
         # end-to-end dedup modes (§2.9 flagship surface)
         "dedup_exact": q_dedup_exact,
@@ -1366,10 +1579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # truth-checked near-dup layers
         "minhash_pairs": q_minhash_pairs,
         "minhash_vs_truth": q_minhash_vs_truth,
-        "simhash_sigs": q_simhash_sigs,
-        "simhash_vs_truth": q_simhash_vs_truth,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "substring_pairs": q_substring_pairs,
+        "simhash_suite": q_simhash_suite,
+        "substring_suite": q_substring_suite,
         "substring_verified": q_substring_verified,
         "connected_components": q_connected_components,
         "exact_dup_groups": q_exact_dup_groups,
@@ -1392,10 +1603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_near_pairs": q_embedding_near_pairs,
         # multimodal
-        "media_features": q_media_features,
-        "media_phash": q_media_phash,
-        "media_phash_pairs": q_media_phash_pairs,
-        "media_near_pairs": q_media_near_pairs,
+        "media_features_suite": q_media_features_suite,
+        "media_pairs_suite": q_media_pairs_suite,
         # file-mode operators (scan, joins, actions)
         "filter_project": q_filter_project,
         "equi_join_agg": q_equi_join_agg,
@@ -1404,28 +1613,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "exif_proximity": q_exif_proximity,
         "numeric_delta_gate": q_numeric_delta_gate,
-        "symlink_janitor": q_symlink_janitor,
-        "symlink_dirs": q_symlink_dirs,
+        "symlink_suite": q_symlink_suite,
         "union_dedupe": q_union_dedupe,
         "agg_counters": q_agg_counters,
         "fork_pairs": q_fork_pairs,
-        # --- driver-window boundary (50) ---------------------------------
-        # narrow demos below were driver-certified in CORRECTNESS_r02.json
-        # (rows+schema+hash green) and stay covered by
-        # scripts/check_oracle.py + pytest each round.
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "first_match": q_first_match,
-        "topk_per_group": q_topk_per_group,
-        "min_over_cluster": q_min_over_cluster,
-        "multi_candidate": q_multi_candidate,
-        "distinct_flatten": q_distinct_flatten,
-        "norm_key": q_norm_key,
-        "salted_agg": q_salted_agg,
-        "time_proximity_semi": q_time_proximity_semi,
-        "warning_gate": q_warning_gate,
-        "report_top": q_report_top,
-        "common_prefix": q_common_prefix,
+        # consolidated narrow-demo suites (see the suite docstrings for
+        # the op → mode-tag mapping; COVERAGE.md carries the full table)
+        "join_modes": q_join_modes,
+        "window_suite": q_window_suite,
+        "report_suite": q_report_suite,
+        "key_norm_skew": q_key_norm_skew,
         "repo_profiles": q_repo_profiles,  # rows-only; r2 driver row
     }
 
@@ -1967,7 +2164,7 @@ def _ann_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    o = {
         "connected_components": """
             WITH RECURSIVE grams AS (
                 SELECT doc_id,
@@ -2750,3 +2947,119 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE n > 1
         """,
     }
+    return _compose_suite_oracles(o)
+
+
+def _compose_suite_oracles(o: dict[str, str]) -> dict[str, str]:
+    """Tag-union the narrow-demo oracles into the suite oracles
+    (mirrors q_join_modes … q_substring_suite exactly: same mode tags,
+    same casts on both engines), then drop the absorbed keys so the
+    registry and the oracle dict stay 1:1 at 50 entries."""
+    NS = "CAST(NULL AS VARCHAR)"
+    NB = "CAST(NULL AS BIGINT)"
+    NT = "CAST(NULL AS TIMESTAMP)"
+    ND = "CAST(NULL AS DOUBLE)"
+
+    o["join_modes"] = f"""
+        SELECT 'anti' AS mode, CAST(c_custkey AS VARCHAR) AS k1,
+               {NS} AS k2, {NB} AS v1, {NB} AS v2, {NT} AS t1
+        FROM ({o['anti_join']}) anti_q
+        UNION ALL
+        SELECT 'semi', CAST(c_custkey AS VARCHAR), {NS}, {NB}, {NB}, {NT}
+        FROM ({o['semi_join']}) semi_q
+        UNION ALL
+        SELECT 'first_match', CAST(o_custkey AS VARCHAR), {NS},
+               o_orderkey, {NB}, o_orderdate
+        FROM ({o['first_match']}) first_q
+        UNION ALL
+        SELECT 'multi', CAST(o_custkey AS VARCHAR),
+               CAST(n_candidates AS VARCHAR), first_ok, last_ok, {NT}
+        FROM ({o['multi_candidate']}) multi_q
+        UNION ALL
+        SELECT 'time_semi', CAST(event_id AS VARCHAR), {NS}, {NB}, {NB}, {NT}
+        FROM ({o['time_proximity_semi']}) tsem_q
+    """
+    o["window_suite"] = f"""
+        SELECT 'topk' AS mode, CAST(o_custkey AS VARCHAR) AS k1,
+               CAST(rank AS VARCHAR) AS k2, o_orderkey AS v1,
+               total_c AS v2, {NT} AS t1, {NT} AS t2
+        FROM ({o['topk_per_group']}) topk_q
+        UNION ALL
+        SELECT 'minmax', CAST(user_id AS VARCHAR), {NS}, n_events, {NB},
+               first_ts, last_ts
+        FROM ({o['min_over_cluster']}) mm_q
+        UNION ALL
+        SELECT 'flatten', CAST(user_id AS VARCHAR), event_types, {NB},
+               {NB}, {NT}, {NT}
+        FROM ({o['distinct_flatten']}) fl_q
+    """
+    o["report_suite"] = f"""
+        SELECT 'warning_gate' AS mode, CAST(doc_id AS VARCHAR) AS k1,
+               CAST(is_duplicate AS VARCHAR) AS k2,
+               CAST(size_warning AS BIGINT) AS v1, {NB} AS v2
+        FROM ({o['warning_gate']}) warn_q
+        UNION ALL
+        SELECT 'report_top', CAST(o_orderkey AS VARCHAR), {NS}, total_c, {NB}
+        FROM ({o['report_top']}) top_q
+        UNION ALL
+        SELECT 'common_prefix', component, common_prefix, n_members, {NB}
+        FROM ({o['common_prefix']}) pre_q
+    """
+    o["key_norm_skew"] = f"""
+        SELECT 'norm_key' AS mode, CAST(p_partkey AS VARCHAR) AS k1,
+               norm_key AS k2, {NB} AS v1, {NB} AS v2
+        FROM ({o['norm_key']}) nk_q
+        UNION ALL
+        SELECT 'salted_agg', event_type, {NS}, n_events, sum_value_c
+        FROM ({o['salted_agg']}) sa_q
+    """
+    o["simhash_suite"] = f"""
+        SELECT 'sig' AS mode, path AS k1, {NS} AS k2, simhash AS v1,
+               {ND} AS j
+        FROM ({o['simhash_sigs']}) sig_q
+        UNION ALL
+        SELECT 'pair', CAST(doc_id_a AS VARCHAR), CAST(doc_id_b AS VARCHAR),
+               {NB}, jaccard5
+        FROM ({o['simhash_vs_truth']}) pair_q
+    """
+    o["media_features_suite"] = f"""
+        SELECT 'features' AS mode, media_id, kind, n_bytes, quarantined,
+               {NB} AS phash
+        FROM ({o['media_features']}) feat_q
+        UNION ALL
+        SELECT 'phash', media_id, {NS}, {NB}, CAST(NULL AS BOOLEAN), phash
+        FROM ({o['media_phash']}) ph_q
+    """
+    o["media_pairs_suite"] = f"""
+        SELECT 'h3' AS mode, id_a, id_b FROM ({o['media_phash_pairs']}) h3_q
+        UNION ALL
+        SELECT 'h8', id_a, id_b FROM ({o['media_near_pairs']}) h8_q
+    """
+    o["symlink_suite"] = f"""
+        SELECT 'janitor' AS mode, repo, path AS k1, target AS k2,
+               action, {NB} AS n
+        FROM ({o['symlink_janitor']}) jan_q
+        UNION ALL
+        SELECT 'dirs', repo, dir, {NS}, {NS}, n_files
+        FROM ({o['symlink_dirs']}) dir_q
+    """
+    o["substring_suite"] = f"""
+        SELECT 'fp' AS mode, path AS k1, {NS} AS k2,
+               CAST(n_fingerprints AS BIGINT) AS v1, fp_min AS v2,
+               fp_max AS v3
+        FROM ({o['winnow_fingerprints']}) fp_q
+        UNION ALL
+        SELECT 'pair', id_a, id_b, {NB}, {NB}, {NB}
+        FROM ({o['substring_pairs']}) sp_q
+    """
+    for absorbed in (
+        "anti_join", "semi_join", "first_match", "multi_candidate",
+        "time_proximity_semi", "topk_per_group", "min_over_cluster",
+        "distinct_flatten", "warning_gate", "report_top", "common_prefix",
+        "norm_key", "salted_agg", "simhash_sigs", "simhash_vs_truth",
+        "media_features", "media_phash", "media_phash_pairs",
+        "media_near_pairs", "symlink_janitor", "symlink_dirs",
+        "winnow_fingerprints", "substring_pairs",
+    ):
+        del o[absorbed]
+    return o

@@ -178,7 +178,10 @@ def main() -> None:
     for name in (
         "agg_counters",
         "equi_join_agg",
-        "topk_per_group",
+        # r3: topk_per_group was tag-unioned into window_suite (same
+        # top-3 window plus minmax/flatten modes — series not
+        # comparable to r1/r2 topk_per_group timings)
+        "window_suite",
         "band_join",
         "asof_nearest",
         "ngram_jaccard",
