@@ -770,8 +770,10 @@ def q_media_near_pairs(spark, sf_dir):
 
 
 def q_lcs_verify(spark, sf_dir):
-    """Substring-mode pair verifier (rows-only): longest common
-    substring length for consecutive documents."""
+    """Substring-mode pair verifier, value-checked: longest common
+    substring length for consecutive documents (the oracle computes
+    the LCS in SQL as the longest match-run along each i-j diagonal
+    via a gaps-and-islands window)."""
     from deduplidog_spark.operators.verify import make_lcs_udf
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -786,8 +788,9 @@ def q_lcs_verify(spark, sf_dir):
 
 
 def q_repo_profiles(spark, sf_dir):
-    """Grouped-map applyInPandas per-source dedup profile (rows-only:
-    pandas interpolated quantiles aren't SQL-portable)."""
+    """Grouped-map applyInPandas per-source dedup profile,
+    value-checked: the pandas linear-interpolation quantiles match
+    DuckDB's quantile_cont at 4-decimal rounding on this data."""
     from deduplidog_spark.operators.groupstats import repo_profiles
 
     docs = _docs_as_files(_t(spark, sf_dir, "documents"))
@@ -1623,7 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_suite": q_window_suite,
         "report_suite": q_report_suite,
         "key_norm_skew": q_key_norm_skew,
-        "repo_profiles": q_repo_profiles,  # rows-only; r2 driver row
+        "repo_profiles": q_repo_profiles,
     }
 
 
