@@ -1412,10 +1412,64 @@ def q_join_modes(spark, sf_dir):
     return _union_all([anti, semi, first, multi, tsem])
 
 
+def _docs_as_history(d):
+    """documents → a deterministic multi-commit history in the contract
+    shape: path collides on doc_id % 40 so each (repo, path) carries
+    several versions, commit is a sortable zero-padded id, and versions
+    with doc_id >= 250 freeze to per-path constant content so adjacent
+    frozen versions are byte-identical (the unchanged-across-commits
+    plant)."""
+    return d.filter(F.length("text") > 0).select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 40).cast("string")).alias(
+            "path"
+        ),
+        F.concat(
+            F.lit("c"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+        ).alias("commit"),
+        F.col("lang"),
+        F.when(
+            F.col("doc_id") >= 250,
+            F.concat(F.lit("FROZEN:"), (F.col("doc_id") % 40).cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+
+
+def q_version_keeper(spark, sf_dir):
+    """Cross-commit newest-wins election (operators/versions.py
+    version_keeper) — the commit-axis generalization of the reference's
+    date-preference keeper (deduplidog.py:73-75,681-696): one keeper
+    per (repo, path) across its versions."""
+    from deduplidog_spark.operators.versions import version_keeper
+
+    hist = _docs_as_history(_t(spark, sf_dir, "documents"))
+    return version_keeper(hist).select(
+        "repo", "path", "commit", "is_keeper", "keeper_commit", "n_versions"
+    )
+
+
+def q_unchanged_versions(spark, sf_dir):
+    """Unchanged-across-commits detection (operators/versions.py):
+    versions whose sha equals the path's previous commit — the rows a
+    commit-snapshot corpus is mostly made of at 10^12-file scale. sha
+    here is the same sha2(content, 256) ingest derives."""
+    from deduplidog_spark.operators.versions import unchanged_across_commits
+
+    hist = _docs_as_history(_t(spark, sf_dir, "documents")).withColumn(
+        "sha", F.sha2("content", 256)
+    )
+    return unchanged_across_commits(hist).select(
+        "repo", "path", "commit", "prev_commit"
+    )
+
+
 def q_window_suite(spark, sf_dir):
     """Window/aggregate suite — W2/W3 top-k per group ('topk'), W4
     min/max election over clusters ('minmax'), A6 distinct flatten
-    ('flatten')."""
+    ('flatten'), cross-commit newest-wins keeper ('version_keeper'),
+    unchanged-across-commits detection ('unchanged')."""
     m = lambda s: F.lit(s).alias("mode")  # noqa: E731
     topk = q_topk_per_group(spark, sf_dir).select(
         m("topk"), F.col("o_custkey").cast("string").alias("k1"),
@@ -1434,7 +1488,22 @@ def q_window_suite(spark, sf_dir):
         F.col("event_types").alias("k2"), _nb().alias("v1"),
         _nb().alias("v2"), _nt().alias("t1"), _nt().alias("t2"),
     )
-    return _union_all([topk, minmax, flat])
+    vk = q_version_keeper(spark, sf_dir).select(
+        m("version_keeper"),
+        F.concat_ws("/", "repo", "path").alias("k1"),
+        F.concat_ws("|", "commit", "keeper_commit").alias("k2"),
+        F.col("n_versions").alias("v1"),
+        F.col("is_keeper").cast("bigint").alias("v2"),
+        _nt().alias("t1"), _nt().alias("t2"),
+    )
+    unch = q_unchanged_versions(spark, sf_dir).select(
+        m("unchanged"),
+        F.concat_ws("/", "repo", "path").alias("k1"),
+        F.concat_ws("|", "commit", "prev_commit").alias("k2"),
+        _nb().alias("v1"), _nb().alias("v2"),
+        _nt().alias("t1"), _nt().alias("t2"),
+    )
+    return _union_all([topk, minmax, flat, vk, unch])
 
 
 def q_report_suite(spark, sf_dir):
@@ -2982,7 +3051,18 @@ def _compose_suite_oracles(o: dict[str, str]) -> dict[str, str]:
         SELECT 'time_semi', CAST(event_id AS VARCHAR), {NS}, {NB}, {NB}, {NT}
         FROM ({o['time_proximity_semi']}) tsem_q
     """
+    # hist replays _docs_as_history: path collides on doc_id % 40,
+    # commit is sortable, doc_id >= 250 freezes to per-path constant
+    # content (the unchanged-across-commits plant)
     o["window_suite"] = f"""
+        WITH hist AS (
+            SELECT source AS repo,
+                   'p' || CAST(doc_id % 40 AS VARCHAR) AS path,
+                   'c' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS commit,
+                   CASE WHEN doc_id >= 250
+                        THEN 'FROZEN:' || CAST(doc_id % 40 AS VARCHAR)
+                        ELSE text END AS content
+            FROM documents WHERE len(text) > 0)
         SELECT 'topk' AS mode, CAST(o_custkey AS VARCHAR) AS k1,
                CAST(rank AS VARCHAR) AS k2, o_orderkey AS v1,
                total_c AS v2, {NT} AS t1, {NT} AS t2
@@ -2995,6 +3075,28 @@ def _compose_suite_oracles(o: dict[str, str]) -> dict[str, str]:
         SELECT 'flatten', CAST(user_id AS VARCHAR), event_types, {NB},
                {NB}, {NT}, {NT}
         FROM ({o['distinct_flatten']}) fl_q
+        UNION ALL
+        SELECT 'version_keeper', repo || '/' || path,
+               commit || '|' || keeper_commit, n_versions,
+               CAST(rn = 1 AS BIGINT), {NT}, {NT}
+        FROM (SELECT repo, path, commit,
+                     row_number() OVER (PARTITION BY repo, path
+                         ORDER BY commit DESC, commit ASC) AS rn,
+                     first_value(commit) OVER (PARTITION BY repo, path
+                         ORDER BY commit DESC, commit ASC) AS keeper_commit,
+                     count(*) OVER (PARTITION BY repo, path) AS n_versions
+              FROM hist) vk_q
+        UNION ALL
+        SELECT 'unchanged', repo || '/' || path,
+               commit || '|' || prev_commit, {NB}, {NB}, {NT}, {NT}
+        FROM (SELECT repo, path, commit,
+                     lag(commit) OVER (PARTITION BY repo, path
+                         ORDER BY commit ASC) AS prev_commit,
+                     content,
+                     lag(content) OVER (PARTITION BY repo, path
+                         ORDER BY commit ASC) AS prev_content
+              FROM hist) un_q
+        WHERE content = prev_content
     """
     o["report_suite"] = f"""
         SELECT 'warning_gate' AS mode, CAST(doc_id AS VARCHAR) AS k1,

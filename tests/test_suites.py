@@ -30,6 +30,8 @@ SUITES = {
         "topk": E.q_topk_per_group,
         "minmax": E.q_min_over_cluster,
         "flatten": E.q_distinct_flatten,
+        "version_keeper": E.q_version_keeper,
+        "unchanged": E.q_unchanged_versions,
     },
     "report_suite": {
         "warning_gate": E.q_warning_gate,

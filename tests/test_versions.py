@@ -1,0 +1,91 @@
+"""Cross-commit version operators (operators/versions.py): newest-wins
+keeper per (repo, path) and unchanged-across-commits detection."""
+
+from pyspark.sql import functions as F
+
+from deduplidog_spark import DedupConfig
+from deduplidog_spark.ingest import ingest
+from deduplidog_spark.operators.versions import (
+    unchanged_across_commits,
+    version_keeper,
+)
+
+
+def _history(spark):
+    rows = [
+        # r1/a.py: c2 repeats c1's bytes, c3 edits, c4 repeats c3
+        ("r1", "a.py", "c1", "py", "v1 body"),
+        ("r1", "a.py", "c2", "py", "v1 body"),
+        ("r1", "a.py", "c3", "py", "v2 body"),
+        ("r1", "a.py", "c4", "py", "v2 body"),
+        # r1/b.py: single version
+        ("r1", "b.py", "c3", "py", "only"),
+        # r2/a.py: same path in another repo — independent history
+        ("r2", "a.py", "c1", "py", "other"),
+        ("r2", "a.py", "c2", "py", "other2"),
+        # r1/broken.py: quarantined (NULL content) twice — NULL sha
+        # must never count as "unchanged"
+        ("r1", "broken.py", "c1", "py", None),
+        ("r1", "broken.py", "c2", "py", None),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def test_version_keeper_newest_wins_per_path(spark):
+    files = ingest(_history(spark), DedupConfig(mode="exact", skip_empty=False))
+    out = version_keeper(files)
+    keepers = {
+        (r.repo, r.path): (r.commit, r.n_versions)
+        for r in out.filter("is_keeper").collect()
+    }
+    assert keepers == {
+        ("r1", "a.py"): ("c4", 4),
+        ("r1", "b.py"): ("c3", 1),
+        ("r2", "a.py"): ("c2", 2),
+        ("r1", "broken.py"): ("c2", 2),
+    }
+    losers = out.filter("NOT is_keeper")
+    assert losers.count() == 5
+    assert losers.filter(F.col("action") != "supersede").count() == 0
+    # every version row knows its keeper
+    assert out.filter(
+        (F.col("repo") == "r1") & (F.col("path") == "a.py")
+        & (F.col("keeper_commit") != "c4")
+    ).count() == 0
+
+
+def test_version_keeper_injectable_order(spark):
+    """With an explicit recency ordinal (git SHAs don't sort), the
+    election follows the ordinal, not the commit string."""
+    files = ingest(_history(spark), DedupConfig(mode="exact", skip_empty=False))
+    # reverse ordinal: c1 is "newest"
+    files = files.withColumn(
+        "commit_ts", -F.ascii(F.substring("commit", 2, 1)).cast("long")
+    )
+    out = version_keeper(files, order_by="commit_ts")
+    keeper = out.filter(
+        "is_keeper AND repo = 'r1' AND path = 'a.py'"
+    ).collect()
+    assert [r.commit for r in keeper] == ["c1"]
+
+
+def test_unchanged_across_commits_and_change_only_corpus(spark):
+    files = ingest(_history(spark), DedupConfig(mode="exact", skip_empty=False))
+    redundant = unchanged_across_commits(files)
+    got = {
+        (r.repo, r.path, r.commit, r.prev_commit) for r in redundant.collect()
+    }
+    # NULL-content versions never match (NULL sha), single versions
+    # have no lag, r2's two versions differ
+    assert got == {
+        ("r1", "a.py", "c2", "c1"),
+        ("r1", "a.py", "c4", "c3"),
+    }
+    change_only = files.join(
+        redundant.select("repo", "path", "commit"),
+        ["repo", "path", "commit"],
+        "left_anti",
+    )
+    assert change_only.count() == files.count() - 2
