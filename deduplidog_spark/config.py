@@ -52,6 +52,15 @@ class DedupConfig:
     skip_empty: bool = True  # deduplidog.py:80-81
     suffixes: tuple[str, ...] = ()  # F3 whitelist (maps to lang)
 
+    # --- commit-axis collapse (operators/versions.py): keep only the
+    # newest version per (repo, path) before any signature work — the
+    # dominant corpus reduction on commit-snapshot tables. Off by
+    # default (a table may already be single-snapshot).
+    collapse_versions: bool = False
+    # recency ordinal column for the election (git SHAs don't sort);
+    # None = the commit string itself (sortable ids)
+    version_order_col: str | None = None
+
     # --- near-dup mode (generalizes media_magic, deduplidog.py:131-153)
     mode: str = "name"  # name | exact | minhash | simhash | substring
     shingle_k: int = 5  # char-shingle width

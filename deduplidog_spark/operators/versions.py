@@ -74,6 +74,31 @@ def version_keeper(
     )
 
 
+def latest_versions(
+    files: DataFrame, order_by: str | Column | None = None
+) -> DataFrame:
+    """The newest-snapshot corpus: keep exactly the keeper row per
+    (repo, path), all input columns intact — the pre-stage
+    ``DedupConfig(collapse_versions=True)`` runs before ingest so the
+    signature pipeline never sees superseded versions.
+
+    Cost model: one window exchange on (repo, path) over FULL rows
+    (content rides this shuffle once — unavoidable on unclustered
+    input, since electing among versions requires co-locating them).
+    On an Iceberg table write-distributed / bucketed by (repo, path) —
+    the natural layout for a commit-snapshot corpus — Catalyst elides
+    the exchange entirely and the collapse is scan-local."""
+    ordc = _order_col(files, order_by)
+    w = Window.partitionBy("repo", "path").orderBy(
+        ordc.desc(), F.col("commit").asc()
+    )
+    return (
+        files.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def unchanged_across_commits(
     files: DataFrame, order_by: str | Column | None = None
 ) -> DataFrame:

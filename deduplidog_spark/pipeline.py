@@ -220,6 +220,15 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
     #   content here would double the pipeline's I/O volume: content is
     #   ~95% of the bytes and memory/disk bandwidth is the shared
     #   resource that does NOT scale with cores.
+    if cfg.collapse_versions:
+        # commit-axis pre-collapse: the signature pipeline only ever
+        # sees the newest version per (repo, path) — on commit-snapshot
+        # corpora this is the biggest reduction in the whole run and
+        # costs one window exchange (zero on (repo, path)-bucketed
+        # input; see operators/versions.latest_versions)
+        from .operators.versions import latest_versions
+
+        raw = latest_versions(raw, order_by=cfg.version_order_col)
     files_full = _with_fid(ingest(raw, cfg))
     slim_cols = [c for c in files_full.columns if c != "content"]
     files = _ckpt(files_full.select(*slim_cols), cfg, "files")

@@ -56,10 +56,15 @@ def main() -> None:
     argv = list(sys.argv[1:])
     batch_loc = _take_flag(argv, "--append")
     state_out = _take_flag(argv, "--state-out")
+    version_order = _take_flag(argv, "--version-order-col")
+    collapse = "--collapse-versions" in argv
+    if collapse:
+        argv.remove("--collapse-versions")
     if len(argv) < 2:
         sys.exit(
             "usage: run_dedupe.py <corpus_location> <checkpoint_target> "
-            "[mode] [tau] [--append <batch_location> [--state-out <dir>]]"
+            "[mode] [tau] [--append <batch_location> [--state-out <dir>]] "
+            "[--collapse-versions [--version-order-col <col>]]"
         )
     corpus_loc = argv[0]
     ckpt = argv[1]
@@ -67,7 +72,13 @@ def main() -> None:
     tau = float(argv[3]) if len(argv) > 3 else 0.7
 
     spark = SparkSession.builder.appName("deduplidog-spark").getOrCreate()
-    common = dict(mode=mode, shingle_k=9, jaccard_threshold=tau)
+    common = dict(
+        mode=mode,
+        shingle_k=9,
+        jaccard_threshold=tau,
+        collapse_versions=collapse,
+        version_order_col=version_order,
+    )
     if ckpt.startswith("table:"):
         parts = ckpt.split(":")
         prefix = parts[1]

@@ -89,3 +89,26 @@ def test_unchanged_across_commits_and_change_only_corpus(spark):
         "left_anti",
     )
     assert change_only.count() == files.count() - 2
+
+
+def test_pipeline_collapse_versions_pre_stage(spark):
+    """DedupConfig(collapse_versions=True): the pipeline sees only the
+    newest version per (repo, path) — its plan equals dedupe() over the
+    manually collapsed corpus, and superseded versions never appear."""
+    from deduplidog_spark.operators.versions import latest_versions
+    from deduplidog_spark.pipeline import dedupe
+
+    raw = (
+        _history(spark)
+        .withColumn("mtime", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+        .withColumn("is_symlink", F.lit(False))
+    )
+    cfg = DedupConfig(mode="exact", collapse_versions=True)
+    res = dedupe(raw, cfg)
+    got = {(r.repo, r.path) for r in res.files.select("repo", "path").collect()}
+    # one surviving row per (repo, path); quarantined-only path kept
+    assert got == {
+        ("r1", "a.py"), ("r1", "b.py"), ("r2", "a.py"), ("r1", "broken.py")
+    }
+    manual = dedupe(latest_versions(raw), DedupConfig(mode="exact"))
+    assert sorted(res.plan.collect()) == sorted(manual.plan.collect())
