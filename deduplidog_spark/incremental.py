@@ -317,6 +317,21 @@ def incremental_dedupe(
     surviving pair-id set broadcasts against it; base content still
     never crosses a shuffle).
     """
+    if cfg.collapse_versions:
+        # the commit-axis collapse is a FULL-RUN pre-stage: a batch can
+        # carry a newer version of a path the base already holds, and
+        # honoring newest-wins would require retracting the superseded
+        # base fid from every label/band table — silently collapsing
+        # only within the batch would break the equals-full-recompute
+        # guarantee, so fail fast instead
+        raise ValueError(
+            "collapse_versions is a full-run pre-stage and cannot hold "
+            "the equals-full-recompute guarantee under --append (a batch "
+            "may supersede base versions). Pre-collapse upstream (e.g. "
+            "append only changed versions via "
+            "versions.unchanged_across_commits' left-anti complement) "
+            "and run with collapse_versions=False."
+        )
     new_full = ingest(new_raw, cfg).withColumn(
         "fid", F.concat_ws("/", "repo", "path")
     )

@@ -112,3 +112,18 @@ def test_pipeline_collapse_versions_pre_stage(spark):
     }
     manual = dedupe(latest_versions(raw), DedupConfig(mode="exact"))
     assert sorted(res.plan.collect()) == sorted(manual.plan.collect())
+
+
+def test_incremental_rejects_collapse_versions(spark):
+    """A batch can supersede base versions, so collapse_versions under
+    --append cannot hold the equals-full-recompute guarantee — the
+    incremental path must fail fast, not silently collapse batch-only."""
+    import pytest as _pytest
+
+    from deduplidog_spark.incremental import BaseState, incremental_dedupe
+
+    cfg = DedupConfig(mode="exact", collapse_versions=True)
+    with _pytest.raises(ValueError, match="full-run pre-stage"):
+        incremental_dedupe(
+            _history(spark), cfg, BaseState(files=None, bands=None, labels=None)
+        )
