@@ -114,6 +114,54 @@ def test_pipeline_collapse_versions_pre_stage(spark):
     assert sorted(res.plan.collect()) == sorted(manual.plan.collect())
 
 
+def test_versions_match_python_model_on_random_histories(spark):
+    """Randomized (seeded) histories vs a pure-Python model: keeper =
+    max commit per (repo, path), unchanged = adjacent equal contents in
+    commit order — one Spark job over all histories at once."""
+    import random
+
+    rng = random.Random(20260817)
+    rows = []
+    for r in range(12):
+        repo = f"repo{r}"
+        for p in range(rng.randint(1, 5)):
+            path = f"f{p}.py"
+            n_versions = rng.randint(1, 7)
+            body = f"seed {r}/{p}"
+            for v in range(n_versions):
+                if rng.random() < 0.4 and v > 0:
+                    pass  # body unchanged from the previous version
+                else:
+                    body = f"body {r}/{p}/{v}"
+                rows.append((repo, path, f"c{v:03d}", "py", body))
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("sha", F.sha2("content", 256))
+
+    # python model
+    hist = {}
+    for repo, path, commit, _, body in rows:
+        hist.setdefault((repo, path), []).append((commit, body))
+    want_keeper = {k: max(v)[0] for k, v in hist.items()}
+    want_unchanged = {
+        (k[0], k[1], vs[i][0], vs[i - 1][0])
+        for k, vs in ((k, sorted(v)) for k, v in hist.items())
+        for i in range(1, len(vs))
+        if vs[i][1] == vs[i - 1][1]
+    }
+
+    got_keeper = {
+        (r.repo, r.path): r.commit
+        for r in version_keeper(df).filter("is_keeper").collect()
+    }
+    assert got_keeper == want_keeper
+    got_unchanged = {
+        (r.repo, r.path, r.commit, r.prev_commit)
+        for r in unchanged_across_commits(df).collect()
+    }
+    assert got_unchanged == want_unchanged
+
+
 def test_incremental_rejects_collapse_versions(spark):
     """A batch can supersede base versions, so collapse_versions under
     --append cannot hold the equals-full-recompute guarantee — the
