@@ -164,14 +164,31 @@ class DedupConfig:
         """Stable hash of every semantic knob (checkpoint_dir excluded —
         it's where the stages live, not what they compute). Checkpointed
         stage paths embed this so a rerun with a different config/mode
-        can never silently reuse another run's parquet stages."""
+        can never silently reuse another run's parquet stages.
+
+        Fields at their dataclass DEFAULT are excluded from the hash:
+        a knob you never touched cannot change what a run computes, so
+        adding new config fields in a later release keeps every
+        previously-written state/checkpoint addressable (no orphaned
+        --append chains on upgrade). Flipping any knob off its default
+        still changes the fingerprint, as it must."""
         import dataclasses
         import hashlib
         import json
 
-        d = dataclasses.asdict(self)
-        d.pop("checkpoint_dir", None)
-        d.pop("checkpoint_table_prefix", None)
-        d.pop("checkpoint_format", None)
+        d = {}
+        for f in dataclasses.fields(self):
+            if f.name in (
+                "checkpoint_dir", "checkpoint_table_prefix", "checkpoint_format"
+            ):
+                continue
+            default = (
+                f.default_factory()
+                if f.default_factory is not dataclasses.MISSING
+                else f.default
+            )
+            v = getattr(self, f.name)
+            if default is dataclasses.MISSING or v != default:
+                d[f.name] = v
         blob = json.dumps(d, sort_keys=True, default=str).encode()
         return hashlib.sha1(blob).hexdigest()[:12]

@@ -84,10 +84,13 @@ def latest_versions(
 
     Cost model: one window exchange on (repo, path) over FULL rows
     (content rides this shuffle once — unavoidable on unclustered
-    input, since electing among versions requires co-locating them).
-    On an Iceberg table write-distributed / bucketed by (repo, path) —
-    the natural layout for a commit-snapshot corpus — Catalyst elides
-    the exchange entirely and the collapse is scan-local."""
+    input, since electing among versions requires co-locating them;
+    the pipeline materializes the collapsed snapshot as a checkpoint
+    stage so its several downstream consumers re-SCAN the survivors
+    instead of re-executing this shuffle). On an Iceberg table
+    write-distributed / bucketed by (repo, path) — the natural layout
+    for a commit-snapshot corpus — Catalyst elides the exchange
+    entirely and the collapse is scan-local."""
     ordc = _order_col(files, order_by)
     w = Window.partitionBy("repo", "path").orderBy(
         ordc.desc(), F.col("commit").asc()

@@ -223,12 +223,28 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
     if cfg.collapse_versions:
         # commit-axis pre-collapse: the signature pipeline only ever
         # sees the newest version per (repo, path) — on commit-snapshot
-        # corpora this is the biggest reduction in the whole run and
-        # costs one window exchange (zero on (repo, path)-bucketed
-        # input; see operators/versions.latest_versions)
+        # corpora this is the biggest reduction in the whole run. The
+        # collapsed snapshot is MATERIALIZED as a stage: files_full is
+        # consumed by several eager jobs (the slim `files` checkpoint,
+        # the signature path, the verify content re-read), and a lazy
+        # collapse would re-execute its content-bearing window exchange
+        # once per job. Writing the collapsed table instead costs one
+        # exchange + one write of the SURVIVORS (~input/versions-per-
+        # path — the collapse's own reduction pays for the write) and
+        # every downstream pass is then a plain scan, preserving the
+        # pipeline's content-never-crosses-a-shuffle posture. On input
+        # write-distributed by (repo, path) even that one exchange is
+        # elided (see operators/versions.latest_versions). NOTE: state
+        # written under collapse_versions=True is a different run
+        # identity (fingerprint) and is NOT --append-able — a batch may
+        # supersede base versions; incremental_dedupe fails fast.
         from .operators.versions import latest_versions
 
-        raw = latest_versions(raw, order_by=cfg.version_order_col)
+        raw = _ckpt(
+            latest_versions(raw, order_by=cfg.version_order_col),
+            cfg,
+            "collapsed",
+        )
     files_full = _with_fid(ingest(raw, cfg))
     slim_cols = [c for c in files_full.columns if c != "content"]
     files = _ckpt(files_full.select(*slim_cols), cfg, "files")

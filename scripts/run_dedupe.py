@@ -60,6 +60,12 @@ def main() -> None:
     collapse = "--collapse-versions" in argv
     if collapse:
         argv.remove("--collapse-versions")
+    if version_order and not collapse:
+        sys.exit(
+            "--version-order-col only orders the --collapse-versions "
+            "election; without that flag no collapse runs — pass both "
+            "or neither"
+        )
     if len(argv) < 2:
         sys.exit(
             "usage: run_dedupe.py <corpus_location> <checkpoint_target> "

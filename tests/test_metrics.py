@@ -181,3 +181,18 @@ def test_symlink_janitor_by_target_and_dirs(spark):
     dirs = {(r.repo, r.dir): r.n_files for r in symlink_only_dirs(df).collect()}
     # a has a non-symlink, "" (root) has a non-symlink; b and c qualify
     assert dirs == {("r1", "b"): 2, ("r2", "c"): 1}
+
+
+def test_fingerprint_excludes_default_valued_knobs():
+    """Adding config fields in a later release must not orphan
+    previously-written state: fields at their dataclass default are
+    excluded from the fingerprint, so only knobs actually flipped
+    change the run identity."""
+    from deduplidog_spark.config import DedupConfig
+
+    base = DedupConfig()
+    assert DedupConfig(collapse_versions=False).fingerprint() == base.fingerprint()
+    # checkpoint LOCATION never affects identity (pre-existing rule)
+    assert DedupConfig(checkpoint_dir="/x").fingerprint() == base.fingerprint()
+    assert DedupConfig(collapse_versions=True).fingerprint() != base.fingerprint()
+    assert DedupConfig(mode="minhash").fingerprint() != base.fingerprint()
