@@ -312,6 +312,17 @@ def streaming_append_dedupe(
         write_state,
     )
 
+    if cfg.collapse_versions:
+        # surface the append-path rejection BEFORE the stream starts:
+        # incremental_dedupe would raise inside the first foreachBatch,
+        # failing the query asynchronously after setup work
+        raise ValueError(
+            "collapse_versions is a full-run pre-stage and is not "
+            "supported on the streaming append path (a batch may "
+            "supersede base versions) — collapse upstream and stream "
+            "with collapse_versions=False"
+        )
+
     root = state_root.rstrip("/")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

@@ -162,6 +162,21 @@ def test_versions_match_python_model_on_random_histories(spark):
     assert got_unchanged == want_unchanged
 
 
+def test_streaming_append_rejects_collapse_versions(spark, tmp_path):
+    """The streaming append path must reject collapse_versions BEFORE
+    the StreamingQuery starts, not asynchronously inside the first
+    micro-batch."""
+    import pytest as _pytest
+
+    from deduplidog_spark.streaming.incremental import streaming_append_dedupe
+
+    cfg = DedupConfig(mode="exact", collapse_versions=True)
+    with _pytest.raises(ValueError, match="streaming append path"):
+        streaming_append_dedupe(
+            _history(spark), cfg, str(tmp_path / "state"), str(tmp_path / "qc")
+        )
+
+
 def test_incremental_rejects_collapse_versions(spark):
     """A batch can supersede base versions, so collapse_versions under
     --append cannot hold the equals-full-recompute guarantee — the
