@@ -122,10 +122,20 @@ def load_state(spark: SparkSession, cfg: DedupConfig) -> BaseState:
     bands = rd(_BAND_STAGE[cfg.mode]) if cfg.mode in _BAND_STAGE else None
     band_reps = None
     if cfg.mode in _BAND_STAGE:
+        from pyspark.errors import AnalysisException
+
         try:  # stage exists since round 3; older snapshots → fallback
             band_reps = rd("band_reps")
-        except Exception:
-            band_reps = None
+        except AnalysisException as e:
+            # ONLY a missing stage means "pre-round-3 snapshot" — any
+            # other failure (permissions, corrupt parquet, transient
+            # storage fault) must surface, not silently reinstate the
+            # per-batch base-wide aggregation the stage exists to avoid
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg:
+                band_reps = None
+            else:
+                raise
     return BaseState(
         files=rd("files"), bands=bands, labels=rd("cc_labels"),
         band_reps=band_reps,
@@ -356,7 +366,15 @@ def incremental_dedupe(
         # copies of content the base already carries ride the exact
         # star edges; only genuinely new content enters LSH
         seen = state.files.filter(F.col("sha").isNotNull()).select("sha").distinct()
-        fresh = new_slim.join(F.broadcast(seen), "sha", "left_anti")
+        # NULL-sha (quarantined) rows never match a left_anti key, so
+        # without this filter EVERY batch would mint a fresh NULL-sha
+        # representative and merged_state would accumulate one dead rep
+        # per append — violating the band_reps one-rep-per-distinct-sha
+        # invariant (their band_hashes are NULL, so they contribute no
+        # band rows anyway)
+        fresh = new_slim.filter(F.col("sha").isNotNull()).join(
+            F.broadcast(seen), "sha", "left_anti"
+        )
         reps = collapse_sha_reps(fresh)
         # the BASE side must be sha-collapsed too, exactly like
         # near_dup_edges does before banding: byte-identical base copies

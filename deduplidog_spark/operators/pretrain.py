@@ -255,10 +255,10 @@ def curate(
     its losers as 'duplicate' and the content would silently vanish
     from the corpus even though a clean copy existed.
 
-    Shape at scale: per-row column expressions plus two broadcast-able
-    joins (contaminated ids, duplicate non-keeper ids — both small) —
-    no corpus shuffle beyond what decontaminate/quality_keepers
-    already bound.
+    Shape at scale: per-row column expressions plus three
+    data-dependent-small id-set joins (contaminated ids, gate-failer
+    ids fed to the election, duplicate non-keeper ids) — no corpus
+    shuffle beyond what decontaminate/quality_keepers already bound.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     base = corpus.select(
@@ -286,9 +286,14 @@ def curate(
         & (F.col("dup_2gram_fraction") <= max_dup_2gram)
         & ~F.coalesce(F.col("is_contaminated"), F.lit(False))
     )
-    prefer = base.select(F.col(id_col), survives_other_gates.alias("_prefer"))
+    # the election ranks gate-failers below everyone else; passing the
+    # (usually small) failer ID SET — not a corpus-sized boolean
+    # table — keeps the join broadcast-able (AQE decides; a 40%-bad
+    # crawl degrades gracefully to a shuffle join, never worse than
+    # the corpus-sized-table alternative)
+    blocked = base.filter(~survives_other_gates).select(F.col(id_col))
     dups = quality_keepers(
-        corpus, id_col, text_col, key=cluster_key, prefer=prefer
+        corpus, id_col, text_col, key=cluster_key, blocked=blocked
     ).filter(
         ~F.col("is_keeper")
     ).select(F.col(id_col), F.lit(True).alias("is_dup_loser"))
@@ -316,7 +321,7 @@ def quality_keepers(
     id_col: str = "doc_id",
     text_col: str = "text",
     key: Column | None = None,
-    prefer: DataFrame | None = None,
+    blocked: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-preferring keeper election over duplicate clusters:
     within each cluster-key group (default: content_fingerprint —
@@ -333,9 +338,12 @@ def quality_keepers(
     window ordering stays engine-independent — NULL ordering defaults
     differ between Spark (last on desc) and SQL engines (first).
 
-    ``prefer`` — optional (id, _prefer boolean) table ranked ABOVE
-    quality in the election (missing ids count as False). curate()
-    passes the set of docs that survive its other gates.
+    ``blocked`` — optional (id) table of docs ranked BELOW every
+    unlisted doc in the election; curate() passes the docs that FAIL
+    its other gates. Passing the (usually small) failer set instead of
+    a per-doc boolean table keeps this a corpus × small join AQE can
+    broadcast — a corpus-sized preference table would force two
+    full-corpus exchanges here.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(
@@ -344,14 +352,16 @@ def quality_keepers(
         quality_score(t).alias("quality_bp"),
     )
     order = [F.col("quality_bp").desc(), F.col(id_col).asc()]
-    if prefer is not None:
-        # eligibility-first election (curate passes the docs that
-        # survive its other gates): a keeper that is itself dropped
-        # would orphan its losers as 'duplicate' and silently erase
-        # the content from the corpus even when a clean copy existed
-        base = base.join(prefer, id_col, "left").withColumn(
-            "_prefer", F.coalesce(F.col("_prefer"), F.lit(False))
-        )
+    if blocked is not None:
+        # eligibility-first election (curate passes the docs that FAIL
+        # its other gates): a keeper that is itself dropped would
+        # orphan its losers as 'duplicate' and silently erase the
+        # content from the corpus even when a clean copy existed
+        base = base.join(
+            blocked.select(F.col(id_col)).withColumn("_blocked", F.lit(True)),
+            id_col,
+            "left",
+        ).withColumn("_prefer", F.col("_blocked").isNull())
         order = [F.col("_prefer").desc()] + order
     w = Window.partitionBy("cluster_fp").orderBy(*order)
     cw = Window.partitionBy("cluster_fp")
@@ -361,5 +371,5 @@ def quality_keepers(
         .filter(F.col("_n") > 1)
         .withColumn("is_keeper", F.col("_rn") == 1)
         .withColumn("keeper_id", F.first(F.col(id_col)).over(w))
-        .drop("_rn", "_n", "_prefer")
+        .drop("_rn", "_n", "_prefer", "_blocked")
     )

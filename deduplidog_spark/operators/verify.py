@@ -92,8 +92,11 @@ def _lev(x: str, y: str) -> int:
         return len(y)
     if not y:
         return len(x)
-    xa = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32)
-    ya = np.frombuffer(y.encode("utf-32-le"), dtype=np.uint32)
+    # surrogatepass: lone surrogates must score, not crash — Arrow
+    # hands the UDF valid UTF-8, but direct library callers can pass
+    # any Python str (hashing.py makes the same choice)
+    xa = np.frombuffer(x.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
+    ya = np.frombuffer(y.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
     lb = len(ya)
     j = np.arange(1, lb + 1)
     prev = np.arange(lb + 1)

@@ -468,3 +468,55 @@ def test_append_never_aggregates_base_bands_with_reps_stage(spark, incr_run):
         ),
     )
     assert res.labels.count() > 0
+
+
+def test_quarantined_batch_rows_mint_no_band_reps(spark):
+    """NULL-sha (quarantined) batch rows must not enter the fresh-sha
+    rep collapse: before the fix every append added one NULL-sha rep
+    to the rolled-forward band_reps, drifting the one-rep-per-
+    distinct-sha invariant batch by batch."""
+    tmp = tempfile.mkdtemp(prefix="incr_null_")
+    cfg = _cfg(tmp)
+    base_raw = _df(spark, [("base", "a.py", _words("qa", 40)),
+                           ("base", "b.py", _words("qb", 40))])
+    dedupe(base_raw, cfg)
+    state = load_state(spark, cfg)
+    contents = base_raw.select(
+        F.concat_ws("/", "repo", "path").alias("fid"), "content"
+    )
+    for k in range(2):  # two chained appends, each with a NULL row
+        batch = spark.createDataFrame(
+            [(f"b{k}", "ok.py", "c0", "py", _words(f"q{k}", 40), T0),
+             (f"b{k}", "bad.py", "c0", "py", None, T0)],
+            SCHEMA,
+        )
+        res = incremental_dedupe(batch, cfg, state, base_contents=contents)
+        state = merged_state(res, state, cfg)
+    reps_sha = [r.sha for r in state.band_reps.select("sha").collect()]
+    assert None not in reps_sha, "NULL-sha rep leaked into band_reps"
+    assert len(reps_sha) == len(set(reps_sha))
+
+
+def test_load_state_surfaces_corrupt_band_reps(spark, incr_run):
+    """A corrupt/unreadable band_reps stage must raise, not silently
+    fall back to the per-batch base-wide aggregation; only a MISSING
+    stage (pre-round-3 snapshot) falls back."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    cfg, state, res, full, batch_raw = incr_run
+    stage_dir = os.path.join(cfg.checkpoint_dir, cfg.fingerprint(), "band_reps")
+    # corrupt: parquet footer garbage in place of the stage files
+    for f in os.listdir(stage_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(stage_dir, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+    # footer is read at load time; a corrupt stage raises (JVM
+    # RuntimeException via Py4J — the point is it is NOT swallowed)
+    with _pytest.raises(Exception, match="[Pp]arquet"):
+        load_state(spark, cfg)
+    # missing: pre-round-3 snapshot layout → clean fallback to None
+    shutil.rmtree(stage_dir)
+    assert load_state(spark, cfg).band_reps is None
