@@ -2164,13 +2164,12 @@ def _substring_pairs_oracle_sql() -> str:
 # final SELECT.
 _MEDIA_PHASH_CTE = """
     WITH m AS (
-        -- the stub decode truncates the payload to side*side
-        -- bytes (side = floor(sqrt(n))) BEFORE the 8x8 hash
-        -- cycles over them, so the cycle period is side^2
+        -- the stub decode emits the 8x8 hash grid directly: payload
+        -- bytes cycled to 64 cells, so cell i = byte[i % len] and the
+        -- cycle period is the payload length (block-mean pooling in
+        -- _phash64 is an identity on the 8x8 stub frame)
         SELECT doc_id AS media_id, text,
-               greatest(CAST(floor(sqrt(len(text)))
-                             * floor(sqrt(len(text))) AS BIGINT),
-                        1) AS p
+               CAST(len(text) AS BIGINT) AS p
         FROM documents WHERE len(text) > 0),
     codes AS (
         SELECT media_id,

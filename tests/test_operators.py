@@ -258,11 +258,11 @@ def test_media_chunk_join_covers_full_radius(spark):
         return u - (1 << 64) if u >= 1 << 63 else u
 
     rows = [
-        (0, "image", 8, sgn(base), None, False, None),
-        (1, "image", 8, sgn(spread4), None, False, None),
-        (2, "image", 8, sgn(spread8), None, False, None),
-        (3, "image", 8, sgn(far), None, False, None),
-        (4, "image", 8, sgn(base), None, False, None),  # exact copy of 0
+        (0, "image", 8, sgn(base), None, False, None, None),
+        (1, "image", 8, sgn(spread4), None, False, None, None),
+        (2, "image", 8, sgn(spread8), None, False, None, None),
+        (3, "image", 8, sgn(far), None, False, None, None),
+        (4, "image", 8, sgn(base), None, False, None, None),  # exact copy of 0
     ]
     feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
     got4 = {
@@ -417,6 +417,172 @@ def test_media_exif_aux_ts_feeds_v6_proximity(spark):
         )
     )
     assert near.count() == 1 and far.count() == 0
+
+
+def test_phash_pools_blocks_not_truncates():
+    """Round-3 VERDICT weak #1: ``np.resize`` truncation hashed the
+    first 64 pixels of row 0, so two visually identical photos at
+    different resolutions almost never matched. The aHash front end
+    must block-mean pool: (a) the SAME scene sampled at 32×32 and
+    64×64 hashes identically; (b) two frames that share their first 64
+    flattened pixels but differ visually must NOT collide (they did,
+    byte-for-byte, under truncation)."""
+    import numpy as np
+
+    from deduplidog_spark.operators.multimodal import _phash64, _pool8x8
+
+    def scene(n):
+        # piecewise-constant on the 8×8 grid → pooling at any multiple
+        # resolution reproduces the exact cell means
+        img = np.empty((n, n), dtype=np.float32)
+        for r in range(n):
+            for c in range(n):
+                img[r, c] = (r * 8 // n * 37 + c * 8 // n * 91) % 256
+        return img
+
+    assert _phash64(scene(32)) == _phash64(scene(64))
+    assert np.allclose(_pool8x8(scene(32)), _pool8x8(scene(64)))
+
+    # adversarial for the old truncation: identical first-64 pixels
+    a1 = np.zeros((64, 64), dtype=np.float32)
+    a1[0, :] = np.arange(64) * 4
+    a2 = a1.copy()
+    a2[32:, :] = 200.0  # bottom half bright — a different picture
+    assert (a1.flatten()[:64] == a2.flatten()[:64]).all()
+    assert _phash64(a1) != _phash64(a2)
+
+    # stub contract: an 8×8 frame pools to itself (identity), so the
+    # DuckDB oracle's byte-cycle replay stays bit-exact
+    stub = np.resize(np.arange(100, dtype=np.float32), (8, 8))
+    assert (_pool8x8(stub) == stub).all()
+
+
+def test_decode_pil_real_codec_path(monkeypatch):
+    """Drive the REAL-codec seam (_make_decoder → _decode_pil) with a
+    PIL-style fake injected into sys.modules: full-resolution grayscale
+    out of the 'codec', EXIF datetimes collected, and — the round-3
+    fix — two same-scene different-resolution images produce the SAME
+    phash because pooling, not truncation, feeds the hash."""
+    import datetime as dt
+    import sys
+    import types
+
+    import numpy as np
+
+    import deduplidog_spark.operators.multimodal as MM
+
+    class FakeImage:
+        def __init__(self, arr, exif):
+            self._arr, self._exif = arr, exif
+
+        def getexif(self):
+            return self._exif
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self._arr.astype(dtype or np.float32)
+
+    def fake_open(bio):
+        payload = bio.read()
+        if not payload.startswith(b"FAKEIMG"):
+            raise ValueError("not an image")
+        w = int.from_bytes(payload[7:9], "big")
+        h = int.from_bytes(payload[9:11], "big")
+        arr = np.frombuffer(payload[11 : 11 + w * h], dtype=np.uint8)
+        return FakeImage(
+            arr.reshape(h, w), {306: "2021:05:01 10:00:00", 36867: "bad-tag"}
+        )
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = fake_open
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    monkeypatch.setenv("SPARK_GRAFT_MEDIA_CODEC", "real")
+
+    decode = MM._make_decoder()
+    assert decode.__name__ == "_decode_pil"
+
+    def encode(n):
+        img = np.empty((n, n), dtype=np.uint8)
+        for r in range(n):
+            for c in range(n):
+                img[r, c] = (r * 8 // n * 37 + c * 8 // n * 91) % 256
+        return b"FAKEIMG" + n.to_bytes(2, "big") * 2 + img.tobytes()
+
+    px32, aux32 = decode(encode(32))
+    px64, aux64 = decode(encode(64))
+    assert px32.shape == (32, 32) and px64.shape == (64, 64)  # full-res out
+    assert aux32 == [dt.datetime(2021, 5, 1, 10, 0, 0)]  # malformed tag skipped
+    assert MM._phash64(px32) == MM._phash64(px64)  # the fix, end-to-end
+    with pytest.raises(ValueError):
+        decode(b"")  # quarantine contract unchanged
+    with pytest.raises(ValueError):
+        decode(b"not-an-image-at-all")
+
+
+def test_media_hot_chunk_cap_fires(spark):
+    """Round-3 VERDICT weak #2: the media chunk join had no bucket cap.
+    A planted 30-clique (identical phash → every chunk bucket size 30)
+    must be dropped AND reported at cap 10 — the same
+    drop_oversized_groups semantics as the text LSH path — while an
+    honest pair in small buckets survives; at a generous cap the
+    clique's pairs come back."""
+    hot = -(2**63) + 0x1234  # same phash for all 30 → 4 buckets of 30
+    honest = 0x0123_4567_89AB_CDEF
+    rows = [(i, "image", 8, hot, None, False, None, None) for i in range(30)]
+    rows += [
+        (100, "image", 8, honest, None, False, None, None),
+        (101, "image", 8, honest ^ (1 << 5), None, False, None, None),
+    ]
+    feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    pairs, report = near_dup_media_pairs(
+        feats, max_hamming=8, max_bucket_size=10, with_report=True
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in got, "honest small-bucket pair must survive the cap"
+    assert not any(a < 30 and b < 30 for a, b in got), (
+        "over-cap clique pairs must be dropped"
+    )
+    rep = report.collect()
+    assert rep and all(r.bucket_size == 30 for r in rep)
+    uncapped = near_dup_media_pairs(feats, max_hamming=8, max_bucket_size=1000)
+    assert uncapped.filter("id_a < 30 AND id_b < 30").count() == 30 * 29 // 2
+
+
+def test_media_duration_gate_prunes_same_phash(spark):
+    """V5 media gate (reference deduplidog.py:727-731: frame-count
+    delta before any visual compare): a same-phash pair whose durations
+    differ beyond the tolerance is pruned; close durations and NULL
+    durations (images / metadata-less inputs) pass; without the knob
+    the gate is off entirely."""
+    ph = 0x0FED_CBA9_8765_4321
+    rows = [
+        (10, "video", 8, ph, None, False, None, 1000),
+        (11, "video", 8, ph, None, False, None, 99_999),  # far duration
+        (12, "video", 8, ph ^ 1, None, False, None, 2000),
+        (13, "video", 8, ph ^ 1, None, False, None, 2100),  # close
+        (14, "image", 8, ph ^ 2, None, False, None, None),
+        (15, "image", 8, ph ^ 2, None, False, None, None),  # NULLs pass
+    ]
+    feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    gated = {
+        (r.id_a, r.id_b)
+        for r in near_dup_media_pairs(
+            feats, max_hamming=2, duration_tolerance_ms=500
+        ).collect()
+    }
+    assert (10, 11) not in gated, "far-duration same-phash pair must be pruned"
+    assert (12, 13) in gated and (14, 15) in gated
+    ungated = {
+        (r.id_a, r.id_b)
+        for r in near_dup_media_pairs(feats, max_hamming=2).collect()
+    }
+    assert (10, 11) in ungated  # knob off → no pruning
 
 
 def test_edit_ratio_udf_exact_and_vectorized(spark):
