@@ -277,21 +277,33 @@ def main() -> None:
     elif os.path.exists(scaling_cache):
         # the N→4N evidence takes ~6 isolated JVM runs (tens of minutes
         # at useful corpus sizes) — too slow for every default bench
-        # invocation, so embed the last measured block(s) with
-        # provenance; regenerate with SPARK_GRAFT_SCALING=1 or
-        # scripts/scaling_run.py
+        # invocation, so embed the last measured block with provenance;
+        # regenerate with SPARK_GRAFT_SCALING=1 or scripts/scaling_run.py
         try:
             with open(scaling_cache) as fh:
                 cached = json.load(fh)
-            if "experiments" in cached:  # multi-experiment format
-                out["scaling"] = dict(cached["primary"], cached=True)
-                out["scaling_experiments"] = cached["experiments"]
-            else:
-                cached["cached"] = True
-                out["scaling"] = cached
+            out["scaling"] = dict(
+                cached["primary"] if "experiments" in cached else cached,
+                cached=True,
+            )
         except (OSError, ValueError):
             pass
 
+    # COMPACT summary only: the r3 bench line embedded every per-run
+    # timing of a 14-pair scaling series and grew past the driver's
+    # stdout tail window, so the driver recorded "parsed": null. The
+    # full series (runs, windows, per-pair efficiencies) lives in
+    # scaling_results.json; the metric line keeps scalars only and is
+    # printed LAST.
+    if "scaling" in out:
+        keep = (
+            "pairs", "n_cores", "n4_cores", "t_n_sec", "t_4n_sec",
+            "files_per_sec_n", "files_per_sec_4n", "efficiency",
+            "efficiency_paired", "bench_rows", "cached",
+        )
+        out["scaling"] = {
+            k: v for k, v in out["scaling"].items() if k in keep
+        }
     print(json.dumps(out))
 
 

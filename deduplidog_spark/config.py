@@ -12,6 +12,16 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
 
+# Salt for DedupConfig.fingerprint(). The fingerprint omits
+# default-valued fields (so new knobs don't orphan old checkpoints),
+# which means the DEFAULTS THEMSELVES are part of run identity:
+# if you change any field's default below, bump this constant —
+# otherwise a defaults-only config from the new release hashes the
+# same as the old release's while computing something different, and
+# checkpoint/state reuse silently serves stale stages. Adding a new
+# field with a fresh default does NOT require a bump.
+_FINGERPRINT_SCHEMA = "defaults-v1"
+
 
 @dataclass(frozen=True)
 class DedupConfig:
@@ -171,12 +181,28 @@ class DedupConfig:
         adding new config fields in a later release keeps every
         previously-written state/checkpoint addressable (no orphaned
         --append chains on upgrade). Flipping any knob off its default
-        still changes the fingerprint, as it must."""
+        still changes the fingerprint, as it must.
+
+        That exclusion makes run identity depend on the defaults
+        themselves, so the hash is salted with _FINGERPRINT_SCHEMA:
+        CHANGING ANY FIELD'S DEFAULT VALUE IS A BREAKING CHANGE and
+        must bump that constant (defaults-only configs from the old
+        and new release would otherwise hash identically while
+        computing different things, silently serving stale checkpoint
+        stages). Adding a NEW field with a fresh default is safe and
+        must NOT bump it.
+
+        Migration note (one-time, round-3 → round-4 scheme change):
+        fingerprints before the non-default scheme serialized all
+        fields, so pre-change checkpoints and --append state chains
+        are orphaned once — load_state fails loudly with
+        STATE_NOT_FOUND naming the expected fingerprint; recompute
+        state with --full once to re-key it."""
         import dataclasses
         import hashlib
         import json
 
-        d = {}
+        d = {"_schema": _FINGERPRINT_SCHEMA}
         for f in dataclasses.fields(self):
             if f.name in (
                 "checkpoint_dir", "checkpoint_table_prefix", "checkpoint_format"

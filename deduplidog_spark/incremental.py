@@ -130,9 +130,13 @@ def load_state(spark: SparkSession, cfg: DedupConfig) -> BaseState:
             # ONLY a missing stage means "pre-round-3 snapshot" — any
             # other failure (permissions, corrupt parquet, transient
             # storage fault) must surface, not silently reinstate the
-            # per-batch base-wide aggregation the stage exists to avoid
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg:
+            # per-batch base-wide aggregation the stage exists to avoid.
+            # Match the structured error class, not the message text
+            # (message formats change across Spark versions; a renamed
+            # message would turn a corrupt stage into a silent fallback).
+            get_cls = getattr(e, "getCondition", None) or e.getErrorClass
+            err = get_cls() or ""
+            if err.startswith(("PATH_NOT_FOUND", "TABLE_OR_VIEW_NOT_FOUND")):
                 band_reps = None
             else:
                 raise

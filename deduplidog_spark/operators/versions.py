@@ -29,6 +29,38 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def commits_look_unsortable(files: DataFrame, sample: int = 64) -> bool:
+    """Heuristic guard for the default commit-string ordering: sample a
+    few distinct ``commit`` values and report whether they are
+    git-SHA-shaped (uniform-width hex, ≥ 7 chars) — lexicographic order
+    over those is meaningless, so the caller should demand an explicit
+    ``order_by`` (commit timestamp / topological ordinal) instead of
+    silently electing the lexicographically-largest hash as "newest".
+
+    Deliberately a separate, eager helper (runs one tiny ``limit``
+    job) rather than a check inside the operators: the operators are
+    lazy plan builders and must not launch jobs at plan time. The CLI
+    calls this when ``--collapse-versions`` is passed without
+    ``--version-order-col``."""
+    vals = [
+        r[0]
+        for r in files.select("commit").limit(sample).collect()
+        if r[0] is not None
+    ]
+    if not vals:
+        return False
+    hexdigits = set("0123456789abcdefABCDEF")
+    widths = {len(v) for v in vals}
+    return (
+        len(widths) == 1
+        and widths.pop() >= 7
+        and all(set(v) <= hexdigits for v in vals)
+        # all-digit counters / timestamps DO sort — only flag when some
+        # value actually uses a hex letter
+        and any(not v.isdigit() for v in vals)
+    )
+
+
 def _order_col(files: DataFrame, order_by: str | Column | None) -> Column:
     """Commit recency order. Default: the ``commit`` string itself —
     correct for sortable ids (generation counters, zero-padded seqs,

@@ -143,7 +143,25 @@ def main() -> None:
         )
         return
 
-    res = dedupe(read_corpus(spark, corpus_loc), cfg)
+    corpus = read_corpus(spark, corpus_loc)
+    if collapse and not version_order:
+        # the default election orders by the commit STRING — fine for
+        # counters/timestamps, wrong-but-plausible for git SHAs (the
+        # lexicographically-largest hash wins). Cheap sampled check;
+        # warn loudly rather than guess an order.
+        from deduplidog_spark.operators.versions import commits_look_unsortable
+
+        if commits_look_unsortable(corpus):
+            print(
+                "WARNING: --collapse-versions without --version-order-col, "
+                "and the commit values look like git SHAs (uniform-width "
+                "hex) — lexicographic order over hashes does NOT mean "
+                "recency; pass --version-order-col <timestamp/ordinal col> "
+                "or the election will keep an arbitrary version per path",
+                file=sys.stderr,
+            )
+
+    res = dedupe(corpus, cfg)
     res.metrics.show(truncate=False)
     if cfg.checkpoint_table_prefix:
         lineage_report_table(spark, cfg.checkpoint_table_prefix).show(truncate=False)

@@ -196,3 +196,36 @@ def test_fingerprint_excludes_default_valued_knobs():
     assert DedupConfig(checkpoint_dir="/x").fingerprint() == base.fingerprint()
     assert DedupConfig(collapse_versions=True).fingerprint() != base.fingerprint()
     assert DedupConfig(mode="minhash").fingerprint() != base.fingerprint()
+
+
+def test_fingerprint_salted_with_defaults_schema(monkeypatch):
+    """The defaults-exclusion rule makes run identity depend on the
+    defaults themselves, so the hash carries a schema-version salt: a
+    release that changes any field's DEFAULT must bump
+    _FINGERPRINT_SCHEMA, which re-keys every defaults-only config
+    instead of silently serving the old release's checkpoint stages."""
+    from deduplidog_spark import config as C
+
+    before = C.DedupConfig().fingerprint()
+    monkeypatch.setattr(C, "_FINGERPRINT_SCHEMA", "defaults-v2-test")
+    assert C.DedupConfig().fingerprint() != before
+
+
+def test_commits_look_unsortable_heuristic(spark):
+    """Git-SHA-shaped commit columns (uniform-width hex) must trip the
+    CLI guard; sortable ids (zero-padded counters, timestamps) must
+    not."""
+    from deduplidog_spark.operators.versions import commits_look_unsortable
+
+    def df(vals):
+        return spark.createDataFrame([(v,) for v in vals], "commit string")
+
+    shas = ["9fceb02d0ae598e95dc970b74767f19372d61af8",
+            "1b2e1d63ff662fcf85c50ecdfb2c1d21e50a9a61",
+            "af3c1e09ab5cd21f5c77ae0c25b17fced2bd4cc1"]
+    assert commits_look_unsortable(df(shas))
+    assert commits_look_unsortable(df([s[:12] for s in shas]))  # short SHAs
+    assert not commits_look_unsortable(df(["c0001", "c0002", "c0003"]))
+    assert not commits_look_unsortable(df(["20260101120000", "20260102090000"]))
+    assert not commits_look_unsortable(df(["2026-01-01T12:00:00"]))
+    assert not commits_look_unsortable(df([]).filter("commit IS NOT NULL"))
