@@ -318,9 +318,49 @@ def q_token_count(spark, sf_dir):
     )
 
 
-def q_lang_id(spark, sf_dir):
+# planted multi-language docs for the lang_id suite's 'multi' mode —
+# negative doc_ids so they can never collide with the documents table;
+# mirrored verbatim in the oracle's VALUES clause
+_LANG_PLANTS = [
+    (-1, "der hund ist nicht ein tier und die katze ist mit dem hund im haus"),
+    (-2, "le chat est dans la maison et le chien est sur la table pour le jeu"),
+    (-3, "def main(): import os return self class foo lambda x elif none print y"),
+    (-4, "the cat is on the table and it is a good day for the old dog"),
+    (-5, "hallo"),  # < 5 tokens → unknown
+    (-6, "zzz qqq www eee rrr ttt yyy uuu"),  # no profile hits → other
+]
+
+
+def q_lang_id_heuristic(spark, sf_dir):
+    """The original en/other stopword-density heuristic (kept: it is
+    what the curation gates consume)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", ts.language_id(F.col("text")).alias("lang_id"))
+
+
+def q_lang_id_multi(spark, sf_dir):
+    """Multi-language ID (VERDICT r4 item 7): broadcast-literal
+    stopword profiles for code/de/fr/en scored JVM-side
+    (textstats.language_id_multi) over the documents table PLUS
+    planted de/fr/code/en/unknown/other docs so every branch of the
+    classifier is value-checked."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_LANG_PLANTS, "doc_id long, text string")
+    return d.unionByName(planted).select(
+        "doc_id", ts.language_id_multi(F.col("text")).alias("lang_id")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Suite: tag-union of the en/other heuristic and the
+    multi-language profile scorer."""
+    h = q_lang_id_heuristic(spark, sf_dir).select(
+        F.lit("heuristic").alias("mode"), "doc_id", "lang_id"
+    )
+    m = q_lang_id_multi(spark, sf_dir).select(
+        F.lit("multi").alias("mode"), "doc_id", "lang_id"
+    )
+    return h.unionByName(m)
 
 
 def q_quality(spark, sf_dir):
@@ -2205,6 +2245,62 @@ _MEDIA_PHASH_CTE = """
 """
 
 
+def _lang_id_suite_oracle_sql() -> str:
+    """Generated mirror of q_lang_id: the 'heuristic' mode replays the
+    en/other stopword-density rule; the 'multi' mode replays
+    textstats.language_id_multi — profile hit lists, densities, and
+    the CASE tie-break order are all generated FROM
+    textstats.LANGUAGE_PROFILES so the two engines cannot drift.
+    Density arithmetic is a single DOUBLE division on both sides, so
+    the equality comparisons against greatest() are bit-exact."""
+    from deduplidog_spark.operators.textstats import LANGUAGE_PROFILES
+
+    dens_cols = ",\n               ".join(
+        "CAST(len(list_filter(toks, t -> t IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + f"))) AS DOUBLE) / greatest(len(toks), 1) AS d_{lang}"
+        for lang, words in LANGUAGE_PROFILES
+    )
+    mx = "greatest(" + ", ".join(f"d_{lang}" for lang, _ in LANGUAGE_PROFILES) + ")"
+    case_arms = "\n                     ".join(
+        f"WHEN d_{lang} = {mx} THEN '{lang}'"
+        for lang, _ in LANGUAGE_PROFILES
+    )
+    plants = ", ".join(f"({i}, '{t}')" for i, t in _LANG_PLANTS)
+    return f"""
+        SELECT 'heuristic' AS mode, doc_id,
+               CASE
+                 WHEN n_tok < 5 THEN 'unknown'
+                 WHEN CAST(hits AS DOUBLE) / greatest(n_tok, 1) >= 0.02 THEN 'en'
+                 ELSE 'other'
+               END AS lang_id
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tok,
+                   len(regexp_extract_all(text,
+                       '(?i)\\b(the|a|an|of|to|in|and|is|it|for|on|with)\\b')) AS hits
+            FROM documents)
+        UNION ALL
+        SELECT 'multi', doc_id,
+               CASE
+                 WHEN len(toks) < 5 THEN 'unknown'
+                 WHEN {mx} < 0.02 THEN 'other'
+                     {case_arms}
+                 ELSE 'other'
+               END AS lang_id
+        FROM (
+            SELECT doc_id, toks,
+               {dens_cols}
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT * FROM (VALUES {plants}) AS p(doc_id, text))))
+    """
+
+
 def _ann_oracle_sql() -> str:
     """Generated mirror of q_ann_lsh: the hyperplanes are deterministic
     (same seed path as the Spark side), inlined as DOUBLE[] literals so
@@ -2726,20 +2822,7 @@ def oracle_sql() -> dict[str, str]:
                    len(text) AS n_chars_actual
             FROM documents
         """,
-        "lang_id": """
-            SELECT doc_id,
-                   CASE
-                     WHEN n_tok < 5 THEN 'unknown'
-                     WHEN CAST(hits AS DOUBLE) / greatest(n_tok, 1) >= 0.02 THEN 'en'
-                     ELSE 'other'
-                   END AS lang_id
-            FROM (
-                SELECT doc_id,
-                       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tok,
-                       len(regexp_extract_all(text,
-                           '(?i)\\b(the|a|an|of|to|in|and|is|it|for|on|with)\\b')) AS hits
-                FROM documents)
-        """,
+        "lang_id": _lang_id_suite_oracle_sql(),
         "quality": """
             SELECT doc_id,
                    CAST(floor(least(CAST(n_chars_x AS DOUBLE)/200.0, 1.0)

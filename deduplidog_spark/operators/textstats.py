@@ -57,6 +57,49 @@ def language_id(text: Column) -> Column:
     )
 
 
+# Per-language stopword profiles for the multi-language scorer.
+# Tuple order is the TIE-BREAK order (first profile reaching the max
+# density wins) — the DuckDB oracle replays the same CASE order, so
+# keep them in sync. 'code' is a source-code profile (Python-ish
+# keywords), the dominant "language" of this engine's input contract.
+LANGUAGE_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("code", ("def", "import", "return", "self", "class", "lambda",
+              "elif", "none", "print", "yield", "assert")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+            "mit", "für", "auf", "zu", "den", "im", "sich", "von")),
+    ("fr", ("le", "la", "les", "des", "et", "est", "un", "une", "dans",
+            "pour", "que", "qui", "pas", "ce", "sur", "au")),
+    ("en", ("the", "a", "an", "of", "to", "in", "and", "is", "it",
+            "for", "on", "with")),
+)
+
+
+def language_id_multi(text: Column, min_density: float = 0.02) -> Column:
+    """Multi-language ID over broadcast-literal stopword profiles —
+    pure built-in expressions (the profile arrays fold to constants in
+    the plan; zero shuffle, zero UDF, DuckDB-replayable).
+
+    Score = per-language stopword occurrence density over lowercased
+    whitespace tokens; winner = densest profile, ties broken in
+    LANGUAGE_PROFILES order. < 5 tokens → 'unknown'; max density below
+    ``min_density`` → 'other'. Extends the en/other ``language_id``
+    heuristic (kept for the curation gates) to de/fr/code."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    n_tok = F.size(toks)
+    dens = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("double")
+        / F.greatest(n_tok, F.lit(1))
+        for lang, words in LANGUAGE_PROFILES
+    }
+    mx = F.greatest(*dens.values())
+    out = F.when(n_tok < 5, F.lit("unknown")).when(
+        mx < F.lit(float(min_density)), F.lit("other")
+    )
+    for lang, _words in LANGUAGE_PROFILES:
+        out = out.when(dens[lang] == mx, F.lit(lang))
+    return out.otherwise(F.lit("other"))  # unreachable; total expression
+
+
 def quality_score(text: Column) -> Column:
     """[0, 10000] quality proxy in basis points: penalizes very short
     docs, high punctuation ratio, and low distinct-token ratio

@@ -175,6 +175,32 @@ def test_lsh_ann_hot_bucket_capped(spark):
     assert len(hot_neighbors) <= 3
 
 
+def test_language_id_multi_planted_docs(spark):
+    """VERDICT r4 item 7: multi-language ID over broadcast-literal
+    stopword profiles — every branch (code/de/fr/en/unknown/other) on
+    planted docs, pure JVM expressions."""
+    from deduplidog_spark.operators.textstats import language_id_multi
+
+    rows = [
+        (1, "der hund ist nicht ein tier und die katze ist mit dem hund"),
+        (2, "le chat est dans la maison et le chien est sur la table"),
+        (3, "def f(): import os return self class c lambda x elif none"),
+        (4, "the cat is on the table and it is a good day for the dog"),
+        (5, "kurz"),                              # < 5 tokens
+        (6, "zzz qqq www eee rrr ttt yyy uuu"),   # no profile hits
+        (7, "Der Hund UND die Katze MIT dem Hund ist nicht ein Tier"),  # casefold
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", language_id_multi(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got == {1: "de", 2: "fr", 3: "code", 4: "en",
+                   5: "unknown", 6: "other", 7: "de"}
+
+
 def test_ivf_trained_quantizer_seam(spark):
     """VERDICT r3 missing #2: the ``centroids=`` seam of ivf_topk had
     no exercised trained path. Fit pyspark.ml KMeans and compare

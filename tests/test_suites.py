@@ -54,6 +54,10 @@ SUITES = {
         "features": E.q_media_features,
         "phash": E.q_media_phash,
     },
+    "lang_id": {
+        "heuristic": E.q_lang_id_heuristic,
+        "multi": E.q_lang_id_multi,
+    },
 }
 
 
