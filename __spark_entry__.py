@@ -981,7 +981,116 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def _name_knob_corpus(spark, sf_dir, orig_path, work_path):
+    """Planted two-role corpus for one K-knob: every 5th doc appears
+    as an original and as a work copy (same content, same mtime) whose
+    path differs ONLY in the way the knob under test normalizes away —
+    so the pair matches iff the knob's normalization fires."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    base = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    mt = F.timestamp_add("MINUTE", F.col("doc_id").cast("int"), base)
+
+    def side(repo, path_expr):
+        return docs.select(
+            F.lit(repo).alias("repo"),
+            path_expr.alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+            mt.alias("mtime"),
+            F.lit(False).alias("is_symlink"),
+        )
+
+    return side("orig", orig_path).unionByName(side("work", work_path))
+
+
+def _q_name_knob(spark, sf_dir, orig_path, work_path, **knobs):
+    corpus = _name_knob_corpus(spark, sf_dir, orig_path, work_path)
+    cfg = DedupConfig(
+        mode="name", work_repo="work", original_repo="orig", **knobs
+    )
+    return dedupe(corpus, cfg).plan
+
+
+def q_dedup_name_space2char(spark, sf_dir):
+    """K2: work 'f <id>.py' matches orig 'f-<id>.py' only because
+    space2char='-' rewrites the space (deduplidog.py:121-122,465)."""
+    s = F.col("doc_id").cast("string")
+    return _q_name_knob(
+        spark, sf_dir,
+        F.concat(F.lit("f-"), s, F.lit(".py")),
+        F.concat(F.lit("f "), s, F.lit(".py")),
+        space2char="-",
+    )
+
+
+def q_dedup_name_strip_suffix(spark, sf_dir):
+    """K4: work 'f<id>_backup.py' matches orig 'f<id>.py' only because
+    strip_suffix='_backup' trims the stem tail (deduplidog.py:123-124)."""
+    s = F.col("doc_id").cast("string")
+    return _q_name_knob(
+        spark, sf_dir,
+        F.concat(F.lit("f"), s, F.lit(".py")),
+        F.concat(F.lit("f"), s, F.lit("_backup.py")),
+        strip_suffix="_backup",
+    )
+
+
+def q_dedup_name_shorten(spark, sf_dir):
+    """K6: the ORIGINALS index is built on stems truncated to
+    work_file_stem_shortened chars (deduplidog.py:125-126,288), so the
+    6-char work stem 's<id5>' matches orig 's<id5>tailjunk'."""
+    s5 = F.lpad(F.col("doc_id").cast("string"), 5, "0")
+    return _q_name_knob(
+        spark, sf_dir,
+        F.concat(F.lit("s"), s5, F.lit("tailjunk.py")),
+        F.concat(F.lit("s"), s5, F.lit(".py")),
+        work_file_stem_shortened=6,
+    )
+
+
+def q_dedup_name_casefold(spark, sf_dir):
+    """K5 exact mode: 'STRASSE<id>.PY' matches 'straße<id>.py' only
+    under full Unicode case folding (ß→ss, str.casefold through the
+    Arrow UDF) — F.lower would leave ß intact and never match
+    (deduplidog.py:118-120 casefold intent)."""
+    s = F.col("doc_id").cast("string")
+    return _q_name_knob(
+        spark, sf_dir,
+        F.concat(F.lit("straße"), s, F.lit(".py")),
+        F.concat(F.lit("STRASSE"), s, F.lit(".PY")),
+        casefold=True, casefold_exact=True,
+    )
+
+
+_NAME_SUITE_MODES = (
+    ("space2char", q_dedup_name_space2char),
+    ("strip_suffix", q_dedup_name_strip_suffix),
+    ("shorten", q_dedup_name_shorten),
+    ("casefold", q_dedup_name_casefold),
+)
+
+
 def q_dedup_name(spark, sf_dir):
+    """Suite (VERDICT r4 item 8): mode 'default' is the full name/date
+    matrix (strip_end_counter + tolerate_hour bands + warning gates,
+    q_dedup_name_default); the other modes run the SAME end-to-end
+    pipeline with one K-normalization knob live each on a corpus where
+    only that knob can produce the match."""
+    cols = ["fid", "repo", "path", "component", "is_keeper",
+            "duplicate_of", "action", "size_warning", "date_warning",
+            "action_effective", "new_mtime"]
+    out = q_dedup_name_default(spark, sf_dir).select(
+        F.lit("default").alias("mode"), *cols
+    )
+    for mode, fn in _NAME_SUITE_MODES:
+        out = out.unionByName(
+            fn(spark, sf_dir).select(F.lit(mode).alias("mode"), *cols)
+        )
+    return out
+
+
+def q_dedup_name_default(spark, sf_dir):
     """END-TO-END oracle for the reference's DEFAULT mode (name/date):
     originals = every doc as orig/f<id>.py (mtime staggered by a
     minute per id); work = every 3rd doc as work/f<id>(1).py with the
@@ -2245,6 +2354,48 @@ _MEDIA_PHASH_CTE = """
 """
 
 
+def _name_knob_oracle_sql(mode: str, orig_path_sql: str, work_path_sql: str) -> str:
+    """Expected plan rows for one K-knob mode of the dedup_name suite.
+    The corpus is constructed so every planted (work, orig) pair — and
+    nothing else — matches when the knob fires (same content, same
+    mtime, per-doc-unique keys), so the expectation is combinatorial:
+    one 'mark' row per work copy, one 'keep' row per original. The
+    engine has to reproduce it through its actual normalization + join
+    + verify + election machinery."""
+    mt = "TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL '1 minute'"
+    return f"""
+        SELECT '{mode}' AS mode,
+               'work/' || {work_path_sql} AS fid, 'work' AS repo,
+               {work_path_sql} AS path,
+               'orig/' || {orig_path_sql} AS component, FALSE AS is_keeper,
+               'orig/' || {orig_path_sql} AS duplicate_of, 'mark' AS action,
+               FALSE AS size_warning, FALSE AS date_warning,
+               'mark' AS action_effective, {mt} AS new_mtime
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT '{mode}', 'orig/' || {orig_path_sql}, 'orig', {orig_path_sql},
+               'orig/' || {orig_path_sql}, TRUE, CAST(NULL AS VARCHAR),
+               'keep', FALSE, FALSE, 'keep', {mt}
+        FROM documents WHERE doc_id % 5 = 0
+    """
+
+
+_NAME_KNOB_ORACLES = (
+    ("space2char",
+     "'f-' || CAST(doc_id AS VARCHAR) || '.py'",
+     "'f ' || CAST(doc_id AS VARCHAR) || '.py'"),
+    ("strip_suffix",
+     "'f' || CAST(doc_id AS VARCHAR) || '.py'",
+     "'f' || CAST(doc_id AS VARCHAR) || '_backup.py'"),
+    ("shorten",
+     "'s' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || 'tailjunk.py'",
+     "'s' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.py'"),
+    ("casefold",
+     "'straße' || CAST(doc_id AS VARCHAR) || '.py'",
+     "'STRASSE' || CAST(doc_id AS VARCHAR) || '.PY'"),
+)
+
+
 def _lang_id_suite_oracle_sql() -> str:
     """Generated mirror of q_lang_id: the 'heuristic' mode replays the
     en/other stopword-density rule; the 'multi' mode replays
@@ -2542,7 +2693,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id_a, doc_id_b, jaccard5 FROM j
             WHERE jaccard5 >= 0.6
         """,
-        "dedup_name": r"""
+        "dedup_name": "SELECT 'default' AS mode, * FROM (" + r"""
             WITH o AS (
                 SELECT 'orig/f' || CAST(doc_id AS VARCHAR) || '.py' AS fid,
                        'orig' AS repo,
@@ -2600,7 +2751,10 @@ def oracle_sql() -> dict[str, str]:
                        min(o_mtime) AS new_mtime
                 FROM matched GROUP BY o_fid, o_repo, o_path)
             SELECT * FROM affected UNION ALL SELECT * FROM keepers
-        """,
+        """ + ") dflt_q" + "".join(
+            " UNION ALL " + _name_knob_oracle_sql(m, o_sql, w_sql)
+            for m, o_sql, w_sql in _NAME_KNOB_ORACLES
+        ),
         "dedup_minhash": _CLUSTER_ORACLE_SQL,
         "dedup_simhash": _CLUSTER_ORACLE_SQL,
         "dedup_substring": _SUBSTRING_CLUSTER_ORACLE_SQL,

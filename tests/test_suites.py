@@ -58,6 +58,13 @@ SUITES = {
         "heuristic": E.q_lang_id_heuristic,
         "multi": E.q_lang_id_multi,
     },
+    "dedup_name": {
+        "default": E.q_dedup_name_default,
+        "space2char": E.q_dedup_name_space2char,
+        "strip_suffix": E.q_dedup_name_strip_suffix,
+        "shorten": E.q_dedup_name_shorten,
+        "casefold": E.q_dedup_name_casefold,
+    },
 }
 
 
