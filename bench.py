@@ -265,9 +265,11 @@ def main() -> None:
                 with open(scaling_cache) as fh:
                     old = json.load(fh)
                 if "experiments" in old:
+                    # non-pair experiments (e.g. core_sweep) have no
+                    # n_cores — .get keeps them untouched
                     old["experiments"] = [
                         e for e in old["experiments"]
-                        if (e["n_cores"], e["bench_rows"]) != (n, BENCH_ROWS)
+                        if (e.get("n_cores"), e.get("bench_rows")) != (n, BENCH_ROWS)
                     ] + [exp]
                     data = old
             with open(scaling_cache, "w") as fh:

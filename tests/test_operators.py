@@ -314,10 +314,13 @@ def test_hamming_chunks_pigeonhole_property(spark):
 
 def test_media_chunk_join_covers_full_radius(spark):
     """Regression (round-2 VERDICT weak #1): with a fixed 4×16-bit
-    chunk split, a distance-4 pair whose differing bits land in FOUR
-    DIFFERENT chunks shares no chunk and was silently missed even
-    though max_hamming=4. The chunk count must derive from the radius
-    (q = max_hamming + 1) so pigeonhole covers the configured bound."""
+    EXACT chunk split, a distance-4 pair whose differing bits land in
+    FOUR DIFFERENT chunks shares no chunk and was silently missed even
+    though max_hamming=4. Recall 1.0 must hold at every radius: r3
+    derived q = max_hamming + 1 chunks; r4 keeps that for radius ≤ 3
+    and switches to 4×16-bit chunks + ≤⌊m/4⌋-bit multi-probe beyond
+    (same pigeonhole bound, non-degenerate key space) — these planted
+    pairs cover both regimes."""
     base = 0x0123_4567_89AB_CDEF
     # flip one bit in each of the old 16-bit chunks: distance 4, zero
     # shared 16-bit chunks — the adversarial case for the old topology
