@@ -15,12 +15,17 @@ from dataclasses import dataclass, field, replace
 # Salt for DedupConfig.fingerprint(). The fingerprint omits
 # default-valued fields (so new knobs don't orphan old checkpoints),
 # which means the DEFAULTS THEMSELVES are part of run identity:
-# if you change any field's default below, bump this constant —
-# otherwise a defaults-only config from the new release hashes the
-# same as the old release's while computing something different, and
-# checkpoint/state reuse silently serves stale stages. Adding a new
-# field with a fresh default does NOT require a bump.
-_FINGERPRINT_SCHEMA = "defaults-v1"
+# if you change any field's default below — or change what a stage
+# COMPUTES for unchanged knob values (e.g. a band-table topology
+# change) — bump this constant; otherwise a config from the new
+# release hashes the same as the old release's while computing
+# something different, and checkpoint/state reuse silently serves (or
+# silently fails to match) stale stages. Adding a new field with a
+# fresh default does NOT require a bump.
+# v2: simhash band keys for radius 4-8 became r-combination
+#     AND-amplified values (simhash.hamming_band_exprs) — persisted
+#     band stages from v1 would never equi-join the new keys.
+_FINGERPRINT_SCHEMA = "defaults-v2"
 
 
 @dataclass(frozen=True)

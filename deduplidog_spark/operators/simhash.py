@@ -70,10 +70,65 @@ def hamming_chunks(col, max_hamming: int):
     )
 
 
+def hamming_band_exprs(col, max_hamming: int):
+    """Band-value array for the symmetric (grouped-bucket) Hamming LSH
+    join, recall 1.0 at the radius with a NON-degenerate key space:
+
+    - radius ≤ 3: q = max_hamming+1 single chunks (width ≥ 16 bits) —
+      the plain pigeonhole split;
+    - 4 ≤ radius ≤ 8: q = max_hamming+1 single chunks would shrink to
+      ≤ 12 bits (the media-path round-3 failure mode: at radius 8 the
+      key space collapses to 9 × 2^7 values and every bucket goes
+      corpus-sized). Instead AND-amplify: split into q narrower chunks
+      and band on every r-combination (r = q − max_hamming ≥ 2,
+      packed into one long per combination). Two signatures within the
+      radius differ in ≤ max_hamming chunks, so they AGREE on
+      ≥ q − max_hamming ≥ r chunks and share at least one whole
+      r-combination — pigeonhole recall 1.0 with r·width ≥ 12 key
+      bits per band and C(q, r) ≤ 45 band rows per doc. This is the
+      symmetric fix; the media path uses asymmetric multi-probe
+      instead because its two sides are built independently, while
+      this path's bands feed the shared grouped bucket expansion
+      (candidates.lsh_candidate_pairs), which has no probe side.
+    - radius > 8: falls back to single chunks — combination width
+      degrades below usefulness there too, and radii that wide on a
+      64-bit simhash are near-meaningless; the bucket cap remains the
+      (lossy, logged) guard.
+
+    Positions in the returned array are the band ids, so the exprs
+    drop into the existing (band_id, band_hash) machinery unchanged."""
+    if not 4 <= max_hamming <= 8:
+        return hamming_chunks(col, max_hamming)
+    from itertools import combinations
+    from math import comb
+
+    for q in range(max_hamming + 2, 17):
+        r = q - max_hamming
+        width = 64 // q
+        if r >= 2 and r * width >= 12 and comb(q, r) <= 64:
+            break
+    mask = (1 << width) - 1
+    chunk = [
+        F.shiftrightunsigned(col, i * width).bitwiseAND(F.lit(mask))
+        for i in range(q)
+    ]
+    bands = [
+        # pack the combination's chunk values into one long:
+        # r·width ≤ 20 bits, always positive
+        sum(
+            (F.shiftleft(chunk[c], pos * width) for pos, c in enumerate(combo[1:], 1)),
+            chunk[combo[0]],
+        )
+        for combo in combinations(range(q), r)
+    ]
+    return F.array(*bands)
+
+
 def with_simhash_chunks(df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Split the 64-bit signature into q = max_hamming+1 equal bit
-    chunks (JVM-side shiftrightunsigned/mask)."""
-    chunks = hamming_chunks(F.col("simhash"), cfg.simhash_max_hamming)
+    """Split the 64-bit signature into recall-1.0 band keys
+    (hamming_band_exprs: plain chunks ≤ radius 3, r-combination
+    AND-amplification for radius 4-8; JVM-side shifts/masks)."""
+    chunks = hamming_band_exprs(F.col("simhash"), cfg.simhash_max_hamming)
     # gated rows (simhash NULL) must yield NO band rows, not an array of
     # NULL chunk values — NULL chunk rows never equi-join but still pay
     # the explode + bucket-count shuffle; see minhash.with_band_hashes

@@ -312,6 +312,53 @@ def test_hamming_chunks_pigeonhole_property(spark):
         )
 
 
+def test_hamming_band_exprs_combination_recall(spark):
+    """r4: the text-simhash path AND-amplifies for radius 4-8 (single
+    q=m+1 chunks would leave ≤ 12-bit keys — the media path's round-3
+    failure mode, but symmetric). Property: 80 seeded random pairs per
+    radius within Hamming distance ≤ m must share at least one
+    (band_id, band_value) through the REAL Spark expressions; band
+    values must stay in the packed positive range."""
+    import random
+
+    from deduplidog_spark.operators.simhash import hamming_band_exprs
+
+    rng = random.Random(20260818)
+
+    def sgn(u):
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    for max_hamming in (4, 5, 6, 7, 8):
+        rows = []
+        for i in range(80):
+            base = rng.getrandbits(64)
+            d = rng.randint(0, max_hamming)
+            other = base
+            for b in rng.sample(range(64), d):
+                other ^= 1 << b
+            rows.append((i, sgn(base), sgn(other)))
+        df = spark.createDataFrame(rows, "i long, x long, y long")
+        bx = F.transform(
+            hamming_band_exprs(F.col("x"), max_hamming),
+            lambda v, j: F.struct(j.alias("j"), v.alias("v")),
+        )
+        by = F.transform(
+            hamming_band_exprs(F.col("y"), max_hamming),
+            lambda v, j: F.struct(j.alias("j"), v.alias("v")),
+        )
+        got = df.select(
+            "i",
+            F.arrays_overlap(bx, by).alias("ok"),
+            F.array_min(hamming_band_exprs(F.col("x"), max_hamming)).alias("lo"),
+            F.array_max(hamming_band_exprs(F.col("x"), max_hamming)).alias("hi"),
+        ).collect()
+        misses = [r.i for r in got if not r.ok]
+        assert not misses, f"recall violated at max_hamming={max_hamming}: {misses}"
+        assert all(0 <= r.lo and r.hi < (1 << 22) for r in got), (
+            "packed band values must stay positive and within r*width bits"
+        )
+
+
 def test_media_chunk_join_covers_full_radius(spark):
     """Regression (round-2 VERDICT weak #1): with a fixed 4×16-bit
     EXACT chunk split, a distance-4 pair whose differing bits land in
