@@ -336,15 +336,6 @@ def streaming_append_dedupe(
     Start with ``bootstrap_append_state`` (same ``state_layout``).
     Returns the StreamingQuery.
     """
-    from deduplidog_spark.incremental import (
-        append_state_delta,
-        incremental_dedupe,
-        load_state,
-        load_state_delta,
-        merged_state,
-        write_state,
-    )
-
     if state_layout not in ("delta", "snapshot"):
         raise ValueError(f"unknown state_layout {state_layout!r}")
 
@@ -362,59 +353,10 @@ def streaming_append_dedupe(
     root = state_root.rstrip("/")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        if state_layout == "delta":
-            seeded = _fs_list(
-                spark, f"{root}/{cfg.fingerprint()}/delta/cc_labels"
-            )
-            if not seeded:
-                raise RuntimeError(
-                    f"no delta state under {root} — run "
-                    "bootstrap_append_state(..., state_layout='delta') first"
-                )
-            cfg_k = cfg
-            state = load_state_delta(spark, cfg, root, max_batch_id=batch_id)
-        else:
-            usable = [
-                n
-                for n in _fs_list(spark, root)
-                if n.startswith("s") and int(n[1:]) <= batch_id
-            ]
-            if not usable:
-                raise RuntimeError(
-                    f"no state snapshot under {root} — run bootstrap_append_state first"
-                )
-            cfg_k = cfg.with_(checkpoint_dir=f"{root}/{max(usable)}",
-                              checkpoint_table_prefix=None)
-            state = load_state(spark, cfg_k)
-        contents = spark.read.parquet(f"{root}/contents").filter(
-            F.col("batch_id") < batch_id
-        ).select("fid", "content")
-        res = incremental_dedupe(batch_df, cfg_k, state, base_contents=contents)
-        res.plan.write.mode("overwrite").parquet(
-            f"{root}/plans/batch_id={batch_id}"
+        process_append_batch(
+            batch_df, cfg, root, batch_id,
+            state_layout=state_layout, retain_snapshots=retain_snapshots,
         )
-        if state_layout == "delta":
-            append_state_delta(spark, res, cfg, root, batch_id)
-        else:
-            nxt = f"{root}/s{batch_id + 1:09d}"
-            write_state(spark, merged_state(res, state, cfg_k), cfg_k, nxt)
-        batch_df.select(
-            F.concat_ws("/", "repo", "path").alias("fid"), "content"
-        ).write.mode("overwrite").parquet(f"{root}/contents/batch_id={batch_id}")
-        if state_layout == "snapshot" and retain_snapshots is not None:
-            # batch fully committed (plan + s<k+1> + contents) — drop
-            # snapshots older than the newest `retain_snapshots`. The
-            # snapshot just read stays (replay of THIS batch re-reads
-            # it); earlier ones are unreachable: foreachBatch replays
-            # at most the last uncommitted batch id.
-            snaps = sorted(
-                n for n in _fs_list(spark, root) if n.startswith("s")
-            )
-            for n in snaps[: -max(retain_snapshots, 2)]:
-                _fs_delete(spark, f"{root}/{n}")
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -424,3 +366,101 @@ def streaming_append_dedupe(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def next_delta_batch_id(spark, cfg: DedupConfig, state_root: str) -> int:
+    """Next free batch id of a delta chain (max existing + 1; the
+    bootstrap partition is -1, so the first append is 0). For batch/CLI
+    callers driving ``process_append_batch`` without a StreamingQuery
+    assigning ids."""
+    root = state_root.rstrip("/")
+    ids = [
+        int(n.split("=", 1)[1])
+        for n in _fs_list(spark, f"{root}/{cfg.fingerprint()}/delta/files")
+        if n.startswith("batch_id=")
+    ]
+    if not ids:
+        raise RuntimeError(
+            f"no delta state under {root} — bootstrap first "
+            "(bootstrap_append_state / run_dedupe without --append)"
+        )
+    return max(ids) + 1
+
+
+def process_append_batch(
+    batch_df: DataFrame,
+    cfg: DedupConfig,
+    state_root: str,
+    batch_id: int,
+    state_layout: str = "delta",
+    retain_snapshots: int | None = 2,
+):
+    """One chained append against the state root — the body of the
+    stream's foreachBatch, shared with batch/CLI callers
+    (``run_dedupe --append --state-layout delta``) so the two paths
+    cannot diverge. Returns the IncrementalResult (None on an empty
+    batch). See ``streaming_append_dedupe`` for layout semantics."""
+    from deduplidog_spark.incremental import (
+        append_state_delta,
+        incremental_dedupe,
+        load_state,
+        load_state_delta,
+        merged_state,
+        write_state,
+    )
+
+    if batch_df.isEmpty():
+        return None
+    root = state_root.rstrip("/")
+    spark = batch_df.sparkSession
+    if state_layout == "delta":
+        seeded = _fs_list(
+            spark, f"{root}/{cfg.fingerprint()}/delta/cc_labels"
+        )
+        if not seeded:
+            raise RuntimeError(
+                f"no delta state under {root} — run "
+                "bootstrap_append_state(..., state_layout='delta') first"
+            )
+        cfg_k = cfg
+        state = load_state_delta(spark, cfg, root, max_batch_id=batch_id)
+    else:
+        usable = [
+            n
+            for n in _fs_list(spark, root)
+            if n.startswith("s") and int(n[1:]) <= batch_id
+        ]
+        if not usable:
+            raise RuntimeError(
+                f"no state snapshot under {root} — run bootstrap_append_state first"
+            )
+        cfg_k = cfg.with_(checkpoint_dir=f"{root}/{max(usable)}",
+                          checkpoint_table_prefix=None)
+        state = load_state(spark, cfg_k)
+    contents = spark.read.parquet(f"{root}/contents").filter(
+        F.col("batch_id") < batch_id
+    ).select("fid", "content")
+    res = incremental_dedupe(batch_df, cfg_k, state, base_contents=contents)
+    res.plan.write.mode("overwrite").parquet(
+        f"{root}/plans/batch_id={batch_id}"
+    )
+    if state_layout == "delta":
+        append_state_delta(spark, res, cfg, root, batch_id)
+    else:
+        nxt = f"{root}/s{batch_id + 1:09d}"
+        write_state(spark, merged_state(res, state, cfg_k), cfg_k, nxt)
+    batch_df.select(
+        F.concat_ws("/", "repo", "path").alias("fid"), "content"
+    ).write.mode("overwrite").parquet(f"{root}/contents/batch_id={batch_id}")
+    if state_layout == "snapshot" and retain_snapshots is not None:
+        # batch fully committed (plan + s<k+1> + contents) — drop
+        # snapshots older than the newest `retain_snapshots`. The
+        # snapshot just read stays (replay of THIS batch re-reads
+        # it); earlier ones are unreachable: foreachBatch replays
+        # at most the last uncommitted batch id.
+        snaps = sorted(
+            n for n in _fs_list(spark, root) if n.startswith("s")
+        )
+        for n in snaps[: -max(retain_snapshots, 2)]:
+            _fs_delete(spark, f"{root}/{n}")
+    return res

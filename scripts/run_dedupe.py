@@ -20,6 +20,18 @@ table under ``<checkpoint>/<fingerprint>/append/`` AND rolls the base
 state forward (files ∪ batch, bands ∪ batch bands, merged labels) to
 ``--state-out`` (default ``<checkpoint>_next``) so the NEXT append
 run chains: point its <checkpoint_target> at that directory.
+
+``--state-layout delta``: the O(batch)-roll-forward chain (the
+streaming path's default, shared code: streaming.incremental.
+process_append_batch). <checkpoint_target> is then the DELTA ROOT, a
+plain path: the full run bootstraps it (state partitions as
+batch_id=-1 plus base contents); every later ``--append`` run against
+the SAME root auto-assigns the next batch id, writes only batch-sized
+partitions, and needs no --state-out juggling. Daily-ingest loop:
+
+    run_dedupe.py lake.parquet /state --state-layout delta
+    run_dedupe.py lake.parquet /state --append day1.parquet --state-layout delta
+    run_dedupe.py lake.parquet /state --append day2.parquet --state-layout delta
 """
 
 from __future__ import annotations
@@ -56,6 +68,14 @@ def main() -> None:
     argv = list(sys.argv[1:])
     batch_loc = _take_flag(argv, "--append")
     state_out = _take_flag(argv, "--state-out")
+    state_layout = _take_flag(argv, "--state-layout") or "snapshot"
+    if state_layout not in ("snapshot", "delta"):
+        sys.exit(f"--state-layout must be snapshot or delta, got {state_layout!r}")
+    if state_layout == "delta" and state_out:
+        sys.exit(
+            "--state-out is a snapshot-layout knob; the delta layout "
+            "appends batch-keyed partitions under the root itself"
+        )
     version_order = _take_flag(argv, "--version-order-col")
     collapse = "--collapse-versions" in argv
     if collapse:
@@ -70,6 +90,7 @@ def main() -> None:
         sys.exit(
             "usage: run_dedupe.py <corpus_location> <checkpoint_target> "
             "[mode] [tau] [--append <batch_location> [--state-out <dir>]] "
+            "[--state-layout snapshot|delta] "
             "[--collapse-versions [--version-order-col <col>]]"
         )
     corpus_loc = argv[0]
@@ -94,6 +115,43 @@ def main() -> None:
         )
     else:
         cfg = DedupConfig(checkpoint_dir=ckpt, **common)
+
+    if state_layout == "delta":
+        if ckpt.startswith("table:"):
+            sys.exit(
+                "--state-layout delta takes a plain path as the state "
+                "root (the batch-keyed partition log); on an Iceberg "
+                "deployment the same shape maps to appends + "
+                "replace-partition commits"
+            )
+        from deduplidog_spark.streaming.incremental import (
+            bootstrap_append_state,
+            next_delta_batch_id,
+            process_append_batch,
+        )
+
+        if batch_loc is not None:
+            k = next_delta_batch_id(spark, cfg, ckpt)
+            res = process_append_batch(
+                read_corpus(spark, batch_loc), cfg, ckpt, k
+            )
+            if res is None:
+                print("empty batch — nothing to do")
+                return
+            res.metrics.show(truncate=False)
+            print(
+                f"batch {k}: plan at {ckpt.rstrip('/')}/plans/batch_id={k}; "
+                "batch-sized state delta appended — re-run with the next "
+                "--append against the SAME root to chain"
+            )
+            return
+        bootstrap_append_state(read_corpus(spark, corpus_loc), cfg, ckpt)
+        print(
+            f"delta chain bootstrapped at {ckpt} "
+            f"(fingerprint {cfg.fingerprint()}); chain ingest batches with "
+            "--append <batch> --state-layout delta against the same root"
+        )
+        return
 
     if batch_loc is not None:
         # fail fast on a misconfigured roll-forward target BEFORE any

@@ -374,3 +374,77 @@ def test_streaming_append_delta_layout_o_batch_writes(spark):
     )
     ful = {r.fid: r.component for r in full.clusters.select("fid", "component").collect()}
     assert lab == ful
+
+
+def test_delta_state_replay_is_idempotent(spark):
+    """The delta layout's crash-replay contract: re-running batch k
+    (foreachBatch at-least-once) overwrites the same batch-keyed
+    partitions instead of duplicating rows, and a partial write from a
+    crashed attempt at batch k is invisible to the replay's own read
+    (loader filters batch_id < k). Driven through the incremental API
+    the stream's _process uses."""
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.config import DedupConfig
+    from deduplidog_spark.incremental import (
+        append_state_delta,
+        incremental_dedupe,
+        load_state,
+        load_state_delta,
+        write_state_delta,
+    )
+    from deduplidog_spark.pipeline import dedupe
+
+    tmp = tempfile.mkdtemp(prefix="delta_replay_")
+    root = os.path.join(tmp, "state")
+    cfg = DedupConfig(mode="minhash", checkpoint_dir=os.path.join(tmp, "boot"))
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(r, p, "c0", "py", c, None) for r, p, c in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, mtime timestamp",
+        )
+
+    base = df([("b", f"f{i}.py", f"unique words number {i} " * 10) for i in range(8)])
+    res0 = dedupe(base, cfg)
+    res0.plan.count()
+    write_state_delta(spark, load_state(spark, cfg), cfg, root)
+
+    batch = df([("d", "g.py", "unique words number 3 " * 10)])
+    contents = base.select(
+        F.concat_ws("/", "repo", "path").alias("fid"), "content"
+    )
+
+    def run_batch_0():
+        st = load_state_delta(spark, cfg, root, max_batch_id=0)
+        r = incremental_dedupe(batch, cfg, st, base_contents=contents)
+        append_state_delta(spark, r, cfg, root, 0)
+
+    run_batch_0()
+    first = {
+        (r.fid, r.component)
+        for r in load_state_delta(spark, cfg, root).labels.collect()
+    }
+    n_files_first = load_state_delta(spark, cfg, root).files.count()
+    # crash-replay: batch 0 runs AGAIN (same input, same id)
+    run_batch_0()
+    again = load_state_delta(spark, cfg, root)
+    assert {
+        (r.fid, r.component) for r in again.labels.collect()
+    } == first, "replay must not change labels"
+    assert again.files.count() == n_files_first, "replay must not duplicate rows"
+    assert again.bands.count() == 9  # 8 base + 1 batch, once
+
+    # partial-write invisibility: a crashed batch 1 left partial files
+    # partitions; batch 1's replay (max_batch_id=1) must not see them
+    import pandas as pd  # noqa: F401  (ensure pandas present for createDataFrame)
+
+    partial = spark.createDataFrame(
+        [("junk/p.py",)], "fid string"
+    )
+    partial.write.mode("overwrite").parquet(
+        os.path.join(root, cfg.fingerprint(), "delta", "cc_labels", "batch_id=1")
+    )
+    st1 = load_state_delta(spark, cfg, root, max_batch_id=1)
+    assert not [r for r in st1.labels.collect() if r.fid == "junk/p.py"]
