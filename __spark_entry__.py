@@ -809,6 +809,37 @@ def q_media_near_pairs(spark, sf_dir):
     return near_dup_media_pairs(feats, max_hamming=8)
 
 
+def q_media_near_pairs_gated(spark, sf_dir):
+    """V5 media gate, value-checked (r4): same radius-8 pair join as
+    q_media_near_pairs, but with deterministic synthetic durations
+    (even doc_ids get (doc_id mod 4) · 10 s, odd stay NULL) and
+    duration_tolerance_ms=5000 — same-phash pairs whose durations are
+    both present and differ by 20 s must be pruned BEFORE the pair
+    materializes; NULL durations never prune (reference
+    deduplidog.py:727-731 frame-count delta)."""
+    from deduplidog_spark.operators.multimodal import (
+        extract_media_features,
+        near_dup_media_pairs,
+    )
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.when(F.col("doc_id") % 37 == 0, F.encode(F.lit(""), "utf-8"))
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, (F.col("doc_id") % 4) * 10000)
+        .cast("long")
+        .alias("duration_ms"),
+    )
+    feats = extract_media_features(media)
+    return near_dup_media_pairs(
+        feats, max_hamming=8, duration_tolerance_ms=5000
+    )
+
+
 def q_lcs_verify(spark, sf_dir):
     """Substring-mode pair verifier, value-checked: longest common
     substring length for consecutive documents (the oracle computes
@@ -1741,16 +1772,20 @@ def q_media_features_suite(spark, sf_dir):
 
 def q_media_pairs_suite(spark, sf_dir):
     """Perceptual-hash pair suite — chunk join at radius 3 where the
-    4×16-bit pigeonhole is exhaustive ('h3', see q_media_phash_pairs)
-    and at the production radius 8 with the quarantine plant ('h8',
-    see q_media_near_pairs)."""
+    4×16-bit pigeonhole is exhaustive ('h3', see q_media_phash_pairs),
+    at the production radius 8 with the quarantine plant ('h8',
+    see q_media_near_pairs), and radius 8 with the V5 duration gate
+    live ('h8gate', see q_media_near_pairs_gated)."""
     h3 = q_media_phash_pairs(spark, sf_dir).select(
         F.lit("h3").alias("mode"), "id_a", "id_b"
+    )
+    h8g = q_media_near_pairs_gated(spark, sf_dir).select(
+        F.lit("h8gate").alias("mode"), "id_a", "id_b"
     )
     h8 = q_media_near_pairs(spark, sf_dir).select(
         F.lit("h8").alias("mode"), "id_a", "id_b"
     )
-    return h3.unionByName(h8)
+    return h3.unionByName(h8).unionByName(h8g)
 
 
 def q_symlink_suite(spark, sf_dir):
@@ -2657,6 +2692,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.media_id % 37 != 0 AND b.media_id % 37 != 0
               AND bit_count(xor(a.phash, b.phash)) <= 8
         """,
+        # V5 media gate replay: synthetic durations are a pure function
+        # of media_id on both engines; the gate prunes only pairs whose
+        # durations are BOTH present and differ beyond the tolerance
+        "media_near_pairs_gated": _MEDIA_PHASH_CTE + """
+            , dur AS (
+                SELECT media_id,
+                       CASE WHEN media_id % 2 = 0
+                            THEN CAST((media_id % 4) * 10000 AS BIGINT)
+                       END AS d
+                FROM m)
+            SELECT a.media_id AS id_a, b.media_id AS id_b
+            FROM ph a JOIN ph b ON b.media_id > a.media_id
+            JOIN dur da ON da.media_id = a.media_id
+            JOIN dur db ON db.media_id = b.media_id
+            WHERE a.media_id % 37 != 0 AND b.media_id % 37 != 0
+              AND bit_count(xor(a.phash, b.phash)) <= 8
+              AND (da.d IS NULL OR db.d IS NULL OR abs(da.d - db.d) <= 5000)
+        """,
         # u64 rolling-hash kernel replicas (see _u64_hash_cte): the
         # Arrow-UDF signature stages value-checked against pure SQL
         "winnow_fingerprints": _winnow_oracle_sql(32, 16),
@@ -3385,6 +3438,8 @@ def _compose_suite_oracles(o: dict[str, str]) -> dict[str, str]:
         SELECT 'h3' AS mode, id_a, id_b FROM ({o['media_phash_pairs']}) h3_q
         UNION ALL
         SELECT 'h8', id_a, id_b FROM ({o['media_near_pairs']}) h8_q
+        UNION ALL
+        SELECT 'h8gate', id_a, id_b FROM ({o['media_near_pairs_gated']}) h8g_q
     """
     o["symlink_suite"] = f"""
         SELECT 'janitor' AS mode, repo, path AS k1, target AS k2,
@@ -3409,7 +3464,8 @@ def _compose_suite_oracles(o: dict[str, str]) -> dict[str, str]:
         "distinct_flatten", "warning_gate", "report_top", "common_prefix",
         "norm_key", "salted_agg", "simhash_sigs", "simhash_vs_truth",
         "media_features", "media_phash", "media_phash_pairs",
-        "media_near_pairs", "symlink_janitor", "symlink_dirs",
+        "media_near_pairs", "media_near_pairs_gated",
+        "symlink_janitor", "symlink_dirs",
         "winnow_fingerprints", "substring_pairs",
     ):
         del o[absorbed]

@@ -49,6 +49,7 @@ SUITES = {
     "media_pairs_suite": {
         "h3": E.q_media_phash_pairs,
         "h8": E.q_media_near_pairs,
+        "h8gate": E.q_media_near_pairs_gated,
     },
     "media_features_suite": {
         "features": E.q_media_features,
