@@ -200,6 +200,11 @@ def main() -> None:
         "fork_pairs",
         "token_count",
         "quality",
+        # r4: media phash pipeline (mapInPandas decode → capped
+        # multi-probe chunk join + V5 gate) and the multi-language
+        # profile scorer — the two surfaces r4 hardened
+        "media_pairs_suite",
+        "lang_id",
     ):
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -213,10 +213,8 @@ def test_ivf_trained_quantizer_seam(spark):
     must run end-to-end and be at least as good as the id-sample
     default here."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    from deduplidog_spark.operators.similarity import ivf_topk
+    from deduplidog_spark.operators.similarity import fit_ivf_centroids, ivf_topk
 
     rng = np.random.RandomState(11)
     centers = rng.randn(20, 16) * 5.0
@@ -237,12 +235,7 @@ def test_ivf_trained_quantizer_seam(spark):
         return len(got & truth) / len(truth)
 
     r_default = recall(ivf_topk(q, emb, 3, n_list=16, n_probe=2))
-    feat = emb.select(array_to_vector("embedding").alias("features"))
-    km = KMeans(k=16, seed=7, maxIter=20).fit(feat)
-    cents = spark.createDataFrame(
-        [(j, [float(x) for x in c]) for j, c in enumerate(km.clusterCenters())],
-        "vec_id long, embedding array<double>",
-    )
+    cents = fit_ivf_centroids(emb, n_list=16, seed=7)
     r_trained = recall(ivf_topk(q, emb, 3, n_list=16, n_probe=2, centroids=cents))
     # measured: trained 1.0, id-sample 0.983 on this corpus
     assert r_trained >= r_default
