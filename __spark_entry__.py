@@ -780,7 +780,11 @@ def q_media_phash_pairs(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
     )
     feats = extract_media_features(media)
-    return near_dup_media_pairs(feats, max_hamming=3)
+    # uncapped: the oracle is the exhaustive Hamming join, so the
+    # certified contract must not depend on bucket occupancy at the
+    # certification scale; the cap's firing path has its own planted
+    # test (test_media_hot_chunk_cap_fires)
+    return near_dup_media_pairs(feats, max_hamming=3, max_bucket_size=10**9)
 
 
 def q_media_near_pairs(spark, sf_dir):
@@ -806,7 +810,8 @@ def q_media_near_pairs(spark, sf_dir):
         .alias("payload"),
     )
     feats = extract_media_features(media)
-    return near_dup_media_pairs(feats, max_hamming=8)
+    # uncapped — same reason as q_media_phash_pairs
+    return near_dup_media_pairs(feats, max_hamming=8, max_bucket_size=10**9)
 
 
 def q_media_near_pairs_gated(spark, sf_dir):
@@ -835,8 +840,10 @@ def q_media_near_pairs_gated(spark, sf_dir):
         .alias("duration_ms"),
     )
     feats = extract_media_features(media)
+    # uncapped — same reason as q_media_phash_pairs
     return near_dup_media_pairs(
-        feats, max_hamming=8, duration_tolerance_ms=5000
+        feats, max_hamming=8, duration_tolerance_ms=5000,
+        max_bucket_size=10**9,
     )
 
 

@@ -334,7 +334,12 @@ def near_dup_media_pairs(
     same drop-and-log semantics as the text LSH path
     (candidates.drop_oversized_groups). A pair whose only shared
     bucket is over the cap is dropped (and reported), standard LSH
-    practice.
+    practice. NOTE the contract: with the default cap the output is
+    the exhaustive Hamming pair set ONLY while no bucket exceeds the
+    cap — callers that need unconditional exhaustiveness (the driver
+    oracle queries do) must pass a cap above their corpus size, and
+    callers relying on the cap at scale should take ``with_report``
+    and surface the dropped-bucket report rather than dropping it.
 
     V5 gate (reference deduplidog.py:727-731 frame-count delta): with
     ``duration_tolerance_ms`` set, pairs whose duration_ms values are

@@ -42,9 +42,12 @@ def commits_look_unsortable(files: DataFrame, sample: int = 64) -> bool:
     lazy plan builders and must not launch jobs at plan time. The CLI
     calls this when ``--collapse-versions`` is passed without
     ``--version-order-col``."""
+    # distinct BEFORE limit: a bare limit() samples whatever partition
+    # happens to come first, so a corpus whose first files use numeric
+    # counter commits would mask the git-SHA majority elsewhere
     vals = [
         r[0]
-        for r in files.select("commit").limit(sample).collect()
+        for r in files.select("commit").distinct().limit(sample).collect()
         if r[0] is not None
     ]
     if not vals:

@@ -256,6 +256,16 @@ def bootstrap_append_state(
 
     if state_layout not in ("delta", "snapshot"):
         raise ValueError(f"unknown state_layout {state_layout!r}")
+    if cfg.collapse_versions:
+        # fail BEFORE the expensive base run: every later append batch
+        # would refuse this config (incremental_dedupe's collapse
+        # rejection), so a collapse-configured chain is unusable — the
+        # same fail-fast streaming_append_dedupe applies at start
+        raise ValueError(
+            "collapse_versions cannot seed an append chain (appends "
+            "reject it — a batch may supersede base versions); collapse "
+            "upstream and bootstrap with collapse_versions=False"
+        )
     spark = base_raw.sparkSession
     root = state_root.rstrip("/")
     stale = [n for n in _fs_list(spark, root)
@@ -369,20 +379,34 @@ def streaming_append_dedupe(
 
 
 def next_delta_batch_id(spark, cfg: DedupConfig, state_root: str) -> int:
-    """Next free batch id of a delta chain (max existing + 1; the
+    """Next free batch id of a delta chain (max committed + 1; the
     bootstrap partition is -1, so the first append is 0). For batch/CLI
     callers driving ``process_append_batch`` without a StreamingQuery
-    assigning ids."""
+    assigning ids.
+
+    Derived from the CONTENTS partitions — the LAST artifact
+    ``process_append_batch`` writes — not from the first state stage:
+    a crash mid-append leaves state partitions for batch k but no
+    contents/batch_id=k, so the next run re-derives id k and its
+    batch-keyed overwrites REPLAY the partial batch instead of
+    chaining past half-written state (which would leave docs in
+    state.files with no band rows or contents — silently unfindable
+    duplicates forever)."""
     root = state_root.rstrip("/")
+    if not _fs_list(spark, f"{root}/{cfg.fingerprint()}/delta/cc_labels"):
+        raise RuntimeError(
+            f"no delta state under {root} — bootstrap first "
+            "(bootstrap_append_state / run_dedupe without --append)"
+        )
     ids = [
         int(n.split("=", 1)[1])
-        for n in _fs_list(spark, f"{root}/{cfg.fingerprint()}/delta/files")
+        for n in _fs_list(spark, f"{root}/contents")
         if n.startswith("batch_id=")
     ]
     if not ids:
         raise RuntimeError(
-            f"no delta state under {root} — bootstrap first "
-            "(bootstrap_append_state / run_dedupe without --append)"
+            f"delta state under {root} has no contents partitions — "
+            "the bootstrap did not complete; re-run it"
         )
     return max(ids) + 1
 

@@ -117,6 +117,17 @@ def main() -> None:
         cfg = DedupConfig(checkpoint_dir=ckpt, **common)
 
     if state_layout == "delta":
+        if collapse:
+            # appends reject collapse_versions, so a collapse-seeded
+            # chain would be unusable after the expensive bootstrap —
+            # fail here with the CLI-shaped message (the library
+            # bootstrap raises the same rejection)
+            sys.exit(
+                "--collapse-versions cannot seed a --state-layout delta "
+                "append chain (appends reject it — a batch may supersede "
+                "base versions); collapse upstream, write the collapsed "
+                "snapshot, and bootstrap from that"
+            )
         if ckpt.startswith("table:"):
             sys.exit(
                 "--state-layout delta takes a plain path as the state "

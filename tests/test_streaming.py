@@ -448,3 +448,52 @@ def test_delta_state_replay_is_idempotent(spark):
     )
     st1 = load_state_delta(spark, cfg, root, max_batch_id=1)
     assert not [r for r in st1.labels.collect() if r.fid == "junk/p.py"]
+
+
+def test_next_delta_batch_id_replays_partial_append(spark):
+    """Review finding (r4): the next batch id must derive from the
+    LAST-written artifact (contents), so a CLI append killed after the
+    state partitions landed but before contents re-derives the SAME id
+    and replays the partial batch — chaining past it would leave docs
+    in state.files with no contents/band visibility."""
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.config import DedupConfig
+    from deduplidog_spark.incremental import load_state, write_state_delta
+    from deduplidog_spark.pipeline import dedupe
+    from deduplidog_spark.streaming.incremental import (
+        next_delta_batch_id,
+        process_append_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="delta_nextid_")
+    root = os.path.join(tmp, "state")
+    cfg = DedupConfig(mode="minhash", checkpoint_dir=os.path.join(tmp, "boot"))
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(r, p, "c0", "py", c, None) for r, p, c in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, mtime timestamp",
+        )
+
+    base = df([("b", f"f{i}.py", f"unique words number {i} " * 10) for i in range(6)])
+    dedupe(base, cfg).plan.count()
+    write_state_delta(spark, load_state(spark, cfg), cfg, root)
+    base.select(
+        F.concat_ws("/", "repo", "path").alias("fid"), "content"
+    ).write.parquet(os.path.join(root, "contents", "batch_id=-1"))
+
+    assert next_delta_batch_id(spark, cfg, root) == 0
+
+    # full append for batch 0 (writes contents last) → next is 1
+    batch = df([("d", "g.py", "unique words number 3 " * 10)])
+    process_append_batch(batch, cfg, root, 0)
+    assert next_delta_batch_id(spark, cfg, root) == 1
+
+    # simulate a crash mid-append for batch 1: state partition written,
+    # contents NOT → the id must stay 1 (replay), not advance to 2
+    spark.createDataFrame([("junk/x.py", "junk/x.py")], "fid string, component string") \
+        .write.parquet(os.path.join(root, cfg.fingerprint(), "delta",
+                                    "cc_labels", "batch_id=1"))
+    assert next_delta_batch_id(spark, cfg, root) == 1
