@@ -814,6 +814,25 @@ def q_media_near_pairs(spark, sf_dir):
     return near_dup_media_pairs(feats, max_hamming=8, max_bucket_size=10**9)
 
 
+def q_media_frames(spark, sf_dir):
+    """Frame sampling through the REAL mapInPandas path (r4, task
+    brief "frame-sample"): every document payload is sliced into 4
+    integer-bin frames, each with its own stub-decode aHash —
+    value-checked, since frame boundaries ((i·L)//4) and the per-frame
+    byte-cycle hash are pure functions of the text DuckDB replays
+    exactly; empty payloads surface as one quarantined frame row."""
+    from deduplidog_spark.operators.multimodal import sample_video_frames
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return sample_video_frames(media, n_frames=4)
+
+
 def q_media_near_pairs_gated(spark, sf_dir):
     """V5 media gate, value-checked (r4): same radius-8 pair join as
     q_media_near_pairs, but with deterministic synthetic durations
@@ -1762,9 +1781,10 @@ def q_simhash_suite(spark, sf_dir):
 
 def q_media_features_suite(spark, sf_dir):
     """Multimodal per-file suite — decode/quarantine plumbing rows
-    ('features', see q_media_features) plus the value-checked
-    perceptual hash through the real mapInPandas path ('phash', see
-    q_media_phash)."""
+    ('features', see q_media_features), the value-checked perceptual
+    hash through the real mapInPandas path ('phash', see
+    q_media_phash), and per-frame sampling with per-frame hashes
+    ('frames', see q_media_frames; kind carries the frame slot)."""
     feats = q_media_features(spark, sf_dir).select(
         F.lit("features").alias("mode"), "media_id", "kind", "n_bytes",
         "quarantined", _nb().alias("phash"),
@@ -1774,7 +1794,12 @@ def q_media_features_suite(spark, sf_dir):
         _nb().alias("n_bytes"),
         F.lit(None).cast("boolean").alias("quarantined"), "phash",
     )
-    return feats.unionByName(ph)
+    fr = q_media_frames(spark, sf_dir).select(
+        F.lit("frames").alias("mode"), "media_id",
+        F.concat(F.lit("f"), F.col("frame_idx").cast("string")).alias("kind"),
+        "n_bytes", "quarantined", "phash",
+    )
+    return feats.unionByName(ph).unionByName(fr)
 
 
 def q_media_pairs_suite(spark, sf_dir):
@@ -2492,6 +2517,55 @@ def _lang_id_suite_oracle_sql() -> str:
                       UNION ALL
                       SELECT * FROM (VALUES {plants}) AS p(doc_id, text))))
     """
+
+
+# Frame-sampling replay (q_media_frames): frame i of an L-byte payload
+# covers bytes [(i·L)//4, ((i+1)·L)//4); empty slices emit no frame;
+# each frame hashes its byte-cycle exactly like the whole-payload stub
+# (same halves/HUGEINT signed-conversion pattern as _MEDIA_PHASH_CTE).
+_MEDIA_FRAMES_SQL = """
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               CAST(len(text) AS BIGINT) AS L
+        FROM documents),
+    fr AS (
+        SELECT media_id, text, CAST(t.i AS INTEGER) AS frame_idx,
+               (t.i * L) // 4 AS s,
+               ((t.i + 1) * L) // 4 - (t.i * L) // 4 AS p
+        FROM m, range(0, 4) AS t(i)
+        WHERE L > 0 AND ((t.i + 1) * L) // 4 > (t.i * L) // 4),
+    codes AS (
+        SELECT media_id, frame_idx, p,
+               list_transform(range(0, 64),
+                   j -> ascii(substr(text,
+                        CAST(s + (j % p) + 1 AS INTEGER), 1))) AS c
+        FROM fr),
+    stats AS (
+        SELECT media_id, frame_idx, p, c, list_sum(c) / 64.0 AS mu FROM codes),
+    halves AS (
+        SELECT media_id, frame_idx, p,
+               list_sum(list_transform(range(0, 32),
+                   j -> CASE WHEN c[CAST(j + 1 AS INTEGER)] > mu
+                             THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS lo,
+               list_sum(list_transform(range(0, 32),
+                   j -> CASE WHEN c[CAST(j + 33 AS INTEGER)] > mu
+                             THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS hi
+        FROM stats),
+    raw AS (
+        SELECT media_id, frame_idx, p,
+               CAST(hi AS HUGEINT) * 4294967296 + CAST(lo AS HUGEINT) AS u
+        FROM halves)
+    SELECT media_id, 'f' || frame_idx AS kind, p AS n_bytes,
+           FALSE AS quarantined,
+           CAST(u - CASE
+                    WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                    THEN CAST('18446744073709551616' AS HUGEINT)
+                    ELSE 0 END AS BIGINT) AS phash
+    FROM raw
+    UNION ALL
+    SELECT media_id, 'f-1', 0, TRUE, NULL
+    FROM m WHERE L = 0
+"""
 
 
 def _ann_oracle_sql() -> str:
@@ -3440,6 +3514,9 @@ def _compose_suite_oracles(o: dict[str, str]) -> dict[str, str]:
         UNION ALL
         SELECT 'phash', media_id, {NS}, {NB}, CAST(NULL AS BOOLEAN), phash
         FROM ({o['media_phash']}) ph_q
+        UNION ALL
+        SELECT 'frames', media_id, kind, n_bytes, quarantined, phash
+        FROM ({_MEDIA_FRAMES_SQL}) fr_q
     """
     o["media_pairs_suite"] = f"""
         SELECT 'h3' AS mode, id_a, id_b FROM ({o['media_phash_pairs']}) h3_q

@@ -241,6 +241,191 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
     return media.mapInPandas(feats, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),  # bytes backing the frame
+        T.StructField("phash", T.LongType()),  # NULL when quarantined
+        T.StructField("quarantined", T.BooleanType()),
+    ]
+)
+
+
+def _frame_slices(length: int, n_frames: int) -> list[tuple[int, int]]:
+    """Integer-bin frame boundaries over a payload: frame i covers
+    bytes [i·L//n, (i+1)·L//n). Empty slices (L < n) emit no frame —
+    mirrored exactly by the DuckDB oracle."""
+    return [
+        (i * length // n_frames, (i + 1) * length // n_frames)
+        for i in range(n_frames)
+        if (i + 1) * length // n_frames > i * length // n_frames
+    ]
+
+
+def _make_frame_decoder(n_frames: int):
+    """Frame-sampling codec seam (task brief: "frame-sample as Pandas
+    UDFs over mapInPandas"). A real cluster decodes with PyAV/ffmpeg
+    (uniform temporal sampling, grayscale frames); this container has
+    no video codec, so the deterministic fake slices the payload into
+    ``n_frames`` byte ranges and treats each as the 8×8 frame grid
+    (same stub convention as _decode_image_stub — DuckDB-replayable).
+    Returns payload -> list[(frame_idx, n_bytes, pixels)]."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_MEDIA_CODEC", "auto") != "stub":
+        try:
+            import av  # PyAV — not in this container; real clusters
+
+            def _decode_av(payload: bytes):
+                import io
+
+                if not payload:
+                    raise ValueError("empty media payload")
+                try:
+                    container = av.open(io.BytesIO(payload))
+                    frames = [
+                        np.asarray(f.to_image().convert("L"), dtype=np.float32)
+                        for f in container.decode(video=0)
+                    ]
+                except Exception as e:  # undecodable → quarantine
+                    raise ValueError(f"undecodable video: {e}") from e
+                if not frames:
+                    raise ValueError("video stream has no frames")
+                # uniform temporal sample of n_frames
+                idxs = [
+                    min(i * len(frames) // n_frames, len(frames) - 1)
+                    for i in range(min(n_frames, len(frames)))
+                ]
+                return [
+                    (i, frames[j].nbytes, frames[j])
+                    for i, j in enumerate(dict.fromkeys(idxs))
+                ]
+
+            return _decode_av
+        except ImportError:
+            pass
+
+    def _decode_slices(payload: bytes):
+        if not payload:
+            raise ValueError("empty media payload")
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return [
+            (i, e - s, np.resize(arr[s:e], (8, 8)).astype(np.float32))
+            for i, (s, e) in enumerate(_frame_slices(len(arr), n_frames))
+        ]
+
+    return _decode_slices
+
+
+def sample_video_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over video payloads → one row per sampled frame
+    with its own perceptual hash (``FRAME_SCHEMA``). Same mapInPandas
+    batch shape and P2 quarantine semantics as extract_media_features;
+    `_phash64` pools whatever frame resolution the codec returns."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _make_frame_decoder(n_frames)  # once per worker
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "n_bytes": [],
+                "phash": [], "quarantined": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    decoded = decode(payload)
+                except ValueError:
+                    # quarantine: ONE flagged row so the bad input stays
+                    # visible downstream (frame_idx -1, NULL phash)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(-1)
+                    out["n_bytes"].append(len(payload))
+                    out["phash"].append(None)
+                    out["quarantined"].append(True)
+                    continue
+                for idx, nb, pixels in decoded:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["n_bytes"].append(nb)
+                    out["phash"].append(_phash64(pixels))
+                    out["quarantined"].append(False)
+            yield pd.DataFrame(
+                {
+                    k: (pd.Series(v, dtype="object") if k == "phash" else v)
+                    for k, v in out.items()
+                }
+            )
+
+    return media.mapInPandas(frames, FRAME_SCHEMA)
+
+
+def near_dup_video_pairs(
+    frames: DataFrame,
+    max_hamming: int = 3,
+    min_shared_frames: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Video near-dup pairs by frame-phash overlap: two videos pair
+    when ≥ ``min_shared_frames`` of their sampled frames match within
+    the Hamming radius — re-encodes/trims share most frames, unrelated
+    videos almost none (the reference compares videos by frame-count
+    delta + image hash, deduplidog.py:727-731; this is the
+    sampled-frame generalization). Same capped chunk-join kernel as
+    the image path; frame matches then group by the video pair and
+    count DISTINCT matched frame slots. Returns
+    (id_a, id_b, shared_frames)."""
+    from deduplidog_spark.operators.candidates import drop_oversized_groups
+    from deduplidog_spark.operators.simhash import hamming_chunks
+
+    n_chunks, flips = _chunk_plan(max_hamming)
+    chunks = hamming_chunks(F.col("phash"), n_chunks - 1)
+    hashed = frames.filter(F.col("phash").isNotNull())
+    a = hashed.select(
+        F.col("media_id").alias("id_a"),
+        F.col("frame_idx").alias("fr_a"),
+        F.col("phash").alias("ph_a"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+    )
+    if flips:
+        masks = F.array(*[F.lit(m) for m in _probe_masks(64 // n_chunks, flips)])
+        a = (
+            a.select("*", F.explode(masks).alias("probe_mask"))
+            .withColumn(
+                "chunk_val", F.col("chunk_val").bitwiseXOR(F.col("probe_mask"))
+            )
+            .drop("probe_mask")
+        )
+    b = hashed.select(
+        F.col("media_id").alias("id_b"),
+        F.col("frame_idx").alias("fr_b"),
+        F.col("phash").alias("ph_b"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+    )
+    b, report = drop_oversized_groups(
+        b, ["chunk_id", "chunk_val"], max_bucket_size, "bucket_size"
+    )
+    a = a.join(
+        F.broadcast(report.select("chunk_id", "chunk_val")),
+        ["chunk_id", "chunk_val"],
+        "left_anti",
+    )
+    frame_matches = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming
+        )
+        .select("id_a", "id_b", "fr_a", "fr_b")
+        .distinct()
+    )
+    return (
+        frame_matches.groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fr_a").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests/bench (no codecs in the
     container — payload bytes are seeded pseudo-random)."""

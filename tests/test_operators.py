@@ -702,6 +702,59 @@ def test_media_duration_gate_prunes_same_phash(spark):
     assert (10, 11) in ungated  # knob off → no pruning
 
 
+def test_video_frame_sampling_and_overlap_pairs(spark):
+    """Task-brief frame-sample operator: sample_video_frames emits one
+    phashed row per frame slice (stub codec: integer-bin payload
+    slices), quarantines empty payloads as a flagged row, and
+    near_dup_video_pairs pairs videos sharing >= min_shared_frames
+    matching frames — a re-encode sharing 3 of 4 slices pairs, an
+    unrelated video does not."""
+    import numpy as np
+
+    from deduplidog_spark.operators.multimodal import (
+        near_dup_video_pairs,
+        sample_video_frames,
+    )
+
+    rng = np.random.RandomState(5)
+    v1 = rng.bytes(400)
+    v2 = v1[:300] + rng.bytes(100)   # last slice re-shot → 3 shared frames
+    v3 = rng.bytes(400)              # unrelated
+    rows = [
+        (1, "video", bytearray(v1), "video/mp4", 64, 64, 4000),
+        (2, "video", bytearray(v2), "video/mp4", 64, 64, 4000),
+        (3, "video", bytearray(v3), "video/mp4", 64, 64, 4000),
+        (4, "video", bytearray(b""), "video/mp4", 64, 64, None),  # quarantine
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_video_frames(media, n_frames=4)
+    got = frames.collect()
+    by_vid = {}
+    for r in got:
+        by_vid.setdefault(r.media_id, []).append(r)
+    assert len(by_vid[1]) == 4 and all(not r.quarantined for r in by_vid[1])
+    assert {r.frame_idx for r in by_vid[1]} == {0, 1, 2, 3}
+    assert all(r.n_bytes == 100 for r in by_vid[1])
+    q = by_vid[4]
+    assert len(q) == 1 and q[0].quarantined and q[0].phash is None
+    # deterministic: same payload → same frame hashes
+    ph1 = {r.frame_idx: r.phash for r in by_vid[1]}
+    ph2 = {r.frame_idx: r.phash for r in by_vid[2]}
+    assert all(ph1[i] == ph2[i] for i in (0, 1, 2))
+
+    pairs = {
+        (r.id_a, r.id_b): r.shared_frames
+        for r in near_dup_video_pairs(
+            frames, max_hamming=3, min_shared_frames=2
+        ).collect()
+    }
+    assert pairs.get((1, 2), 0) >= 3, "re-encode sharing 3 slices must pair"
+    assert not any(3 in p for p in pairs), "unrelated video must not pair"
+    # threshold above the overlap → pruned
+    strict = near_dup_video_pairs(frames, max_hamming=3, min_shared_frames=4)
+    assert not [r for r in strict.collect() if (r.id_a, r.id_b) == (1, 2)]
+
+
 def test_edit_ratio_udf_exact_and_vectorized(spark):
     """V8 edit-ratio verifier: the numpy scan-trick DP must agree with
     JVM F.levenshtein exactly (after the documented early-outs), incl.

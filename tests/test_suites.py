@@ -54,6 +54,7 @@ SUITES = {
     "media_features_suite": {
         "features": E.q_media_features,
         "phash": E.q_media_phash,
+        "frames": E.q_media_frames,
     },
     "lang_id": {
         "heuristic": E.q_lang_id_heuristic,
