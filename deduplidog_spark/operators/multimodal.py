@@ -245,19 +245,26 @@ FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("n_bytes", T.LongType()),  # bytes backing the frame
+        # size of the decoded frame's backing buffer: the payload slice
+        # length under the stub codec, the uint8 grayscale buffer size
+        # (width × height) under a real codec — deterministic per
+        # codec, NOT comparable across codecs
+        T.StructField("n_bytes", T.LongType()),
         T.StructField("phash", T.LongType()),  # NULL when quarantined
         T.StructField("quarantined", T.BooleanType()),
     ]
 )
 
 
-def _frame_slices(length: int, n_frames: int) -> list[tuple[int, int]]:
-    """Integer-bin frame boundaries over a payload: frame i covers
-    bytes [i·L//n, (i+1)·L//n). Empty slices (L < n) emit no frame —
-    mirrored exactly by the DuckDB oracle."""
+def _frame_slices(length: int, n_frames: int) -> list[tuple[int, int, int]]:
+    """Integer-bin frame boundaries over a payload as (bin_idx, start,
+    end): frame i covers bytes [i·L//n, (i+1)·L//n). Empty slices
+    (L < n) emit no frame, and the surviving frames KEEP their
+    original bin index — the DuckDB oracle replays bins, so
+    re-enumerating survivors would make frame ids diverge on payloads
+    shorter than n_frames."""
     return [
-        (i * length // n_frames, (i + 1) * length // n_frames)
+        (i, i * length // n_frames, (i + 1) * length // n_frames)
         for i in range(n_frames)
         if (i + 1) * length // n_frames > i * length // n_frames
     ]
@@ -282,25 +289,40 @@ def _make_frame_decoder(n_frames: int):
 
                 if not payload:
                     raise ValueError("empty media payload")
+                # two passes, O(1) frame memory: materializing every
+                # decoded frame before sampling would need ~hours-of-
+                # video × W×H bytes in one task. Pass 1 counts frames
+                # without converting; pass 2 converts ONLY the sampled
+                # indices (uint8 grayscale — n_bytes is that buffer's
+                # size, the real-codec analog of the stub's slice
+                # length).
                 try:
-                    container = av.open(io.BytesIO(payload))
-                    frames = [
-                        np.asarray(f.to_image().convert("L"), dtype=np.float32)
-                        for f in container.decode(video=0)
-                    ]
+                    total = sum(
+                        1 for _ in av.open(io.BytesIO(payload)).decode(video=0)
+                    )
                 except Exception as e:  # undecodable → quarantine
                     raise ValueError(f"undecodable video: {e}") from e
-                if not frames:
+                if not total:
                     raise ValueError("video stream has no frames")
-                # uniform temporal sample of n_frames
-                idxs = [
-                    min(i * len(frames) // n_frames, len(frames) - 1)
-                    for i in range(min(n_frames, len(frames)))
-                ]
-                return [
-                    (i, frames[j].nbytes, frames[j])
-                    for i, j in enumerate(dict.fromkeys(idxs))
-                ]
+                # uniform temporal sample; every frame when total <= n
+                k = min(n_frames, total)
+                wanted = {i * total // k: i for i in range(k)}
+                out = []
+                try:
+                    for j, f in enumerate(
+                        av.open(io.BytesIO(payload)).decode(video=0)
+                    ):
+                        if j in wanted:
+                            gray = np.asarray(
+                                f.to_image().convert("L"), dtype=np.uint8
+                            )
+                            out.append(
+                                (wanted[j], gray.nbytes,
+                                 gray.astype(np.float32))
+                            )
+                except Exception as e:
+                    raise ValueError(f"undecodable video: {e}") from e
+                return out
 
             return _decode_av
         except ImportError:
@@ -312,7 +334,7 @@ def _make_frame_decoder(n_frames: int):
         arr = np.frombuffer(payload, dtype=np.uint8)
         return [
             (i, e - s, np.resize(arr[s:e], (8, 8)).astype(np.float32))
-            for i, (s, e) in enumerate(_frame_slices(len(arr), n_frames))
+            for i, s, e in _frame_slices(len(arr), n_frames)
         ]
 
     return _decode_slices
@@ -360,6 +382,66 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(frames, FRAME_SCHEMA)
 
 
+def _capped_hamming_self_join(
+    hashed: DataFrame,
+    max_hamming: int,
+    max_bucket_size: int,
+    carry: tuple[str, ...] = (),
+):
+    """THE media Hamming-join kernel, shared by the image and video
+    pair paths so cap/probe semantics cannot diverge: chunk explode
+    per `_chunk_plan` (exact pigeonhole ≤ radius 3, 4×16-bit
+    multi-probe beyond), occupancy counted on the exact side, over-cap
+    (chunk_id, chunk_val) keys removed from BOTH sides by the shared
+    broadcast-anti-join cap kernel, join + bit_count verify, id_a <
+    id_b. ``carry`` columns ride along as <col>_a / <col>_b. Returns
+    (matched rows, dropped_buckets_report)."""
+    from deduplidog_spark.operators.candidates import drop_oversized_groups
+    from deduplidog_spark.operators.simhash import hamming_chunks
+
+    n_chunks, flips = _chunk_plan(max_hamming)
+    chunks = hamming_chunks(F.col("phash"), n_chunks - 1)
+
+    def side(suffix: str) -> DataFrame:
+        return hashed.select(
+            F.col("media_id").alias(f"id_{suffix}"),
+            F.col("phash").alias(f"ph_{suffix}"),
+            *[F.col(c).alias(f"{c}_{suffix}") for c in carry],
+            F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+        )
+
+    a = side("a")
+    if flips:
+        # generators can't nest inside expressions: explode the mask
+        # array to its own column, XOR, drop
+        masks = F.array(*[F.lit(m) for m in _probe_masks(64 // n_chunks, flips)])
+        a = (
+            a.select("*", F.explode(masks).alias("probe_mask"))
+            .withColumn(
+                "chunk_val", F.col("chunk_val").bitwiseXOR(F.col("probe_mask"))
+            )
+            .drop("probe_mask")
+        )
+    b, report = drop_oversized_groups(
+        side("b"), ["chunk_id", "chunk_val"], max_bucket_size, "bucket_size"
+    )
+    # probe rows aimed at a dropped bucket can never match — prune them
+    # before they shuffle (same tiny broadcast set)
+    a = a.join(
+        F.broadcast(report.select("chunk_id", "chunk_val")),
+        ["chunk_id", "chunk_val"],
+        "left_anti",
+    )
+    matches = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming
+        )
+    )
+    return matches, report
+
+
 def near_dup_video_pairs(
     frames: DataFrame,
     max_hamming: int = 3,
@@ -372,56 +454,26 @@ def near_dup_video_pairs(
     videos almost none (the reference compares videos by frame-count
     delta + image hash, deduplidog.py:727-731; this is the
     sampled-frame generalization). Same capped chunk-join kernel as
-    the image path; frame matches then group by the video pair and
-    count DISTINCT matched frame slots. Returns
-    (id_a, id_b, shared_frames)."""
-    from deduplidog_spark.operators.candidates import drop_oversized_groups
-    from deduplidog_spark.operators.simhash import hamming_chunks
-
-    n_chunks, flips = _chunk_plan(max_hamming)
-    chunks = hamming_chunks(F.col("phash"), n_chunks - 1)
+    the image path (`_capped_hamming_self_join`); frame matches then
+    group by the video pair, counting matched frame slots
+    SYMMETRICALLY (least of the two sides' distinct slots, so the
+    verdict cannot depend on which video got the smaller id — a
+    4-identical-frame video against a 1-matching-frame video counts 1,
+    not 4). Returns (id_a, id_b, shared_frames)."""
     hashed = frames.filter(F.col("phash").isNotNull())
-    a = hashed.select(
-        F.col("media_id").alias("id_a"),
-        F.col("frame_idx").alias("fr_a"),
-        F.col("phash").alias("ph_a"),
-        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+    matches, _report = _capped_hamming_self_join(
+        hashed, max_hamming, max_bucket_size, carry=("frame_idx",)
     )
-    if flips:
-        masks = F.array(*[F.lit(m) for m in _probe_masks(64 // n_chunks, flips)])
-        a = (
-            a.select("*", F.explode(masks).alias("probe_mask"))
-            .withColumn(
-                "chunk_val", F.col("chunk_val").bitwiseXOR(F.col("probe_mask"))
-            )
-            .drop("probe_mask")
-        )
-    b = hashed.select(
-        F.col("media_id").alias("id_b"),
-        F.col("frame_idx").alias("fr_b"),
-        F.col("phash").alias("ph_b"),
-        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
-    )
-    b, report = drop_oversized_groups(
-        b, ["chunk_id", "chunk_val"], max_bucket_size, "bucket_size"
-    )
-    a = a.join(
-        F.broadcast(report.select("chunk_id", "chunk_val")),
-        ["chunk_id", "chunk_val"],
-        "left_anti",
-    )
-    frame_matches = (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming
-        )
-        .select("id_a", "id_b", "fr_a", "fr_b")
-        .distinct()
-    )
+    frame_matches = matches.select(
+        "id_a", "id_b", "frame_idx_a", "frame_idx_b"
+    ).distinct()
     return (
         frame_matches.groupBy("id_a", "id_b")
-        .agg(F.countDistinct("fr_a").alias("shared_frames"))
+        .agg(
+            F.least(
+                F.countDistinct("frame_idx_a"), F.countDistinct("frame_idx_b")
+            ).alias("shared_frames")
+        )
         .filter(F.col("shared_frames") >= min_shared_frames)
     )
 
@@ -535,60 +587,20 @@ def near_dup_media_pairs(
 
     Returns the pair DataFrame, or (pairs, dropped_buckets_report)
     when ``with_report``."""
-    from deduplidog_spark.operators.candidates import drop_oversized_groups
-    from deduplidog_spark.operators.simhash import hamming_chunks
     from deduplidog_spark.operators.verify import numeric_delta_gate
 
-    n_chunks, flips = _chunk_plan(max_hamming)
-    chunks = hamming_chunks(F.col("phash"), n_chunks - 1)
     hashed = features.filter(F.col("phash").isNotNull())  # quarantined out
-    gate_cols = ["duration_ms"] if duration_tolerance_ms is not None else []
-    a = hashed.select(
-        F.col("media_id").alias("id_a"),
-        F.col("phash").alias("ph_a"),
-        *[F.col(c).alias("dur_a") for c in gate_cols],
-        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
-    )
-    if flips:
-        # generators can't nest inside expressions: explode the mask
-        # array to its own column, XOR, drop
-        masks = F.array(*[F.lit(m) for m in _probe_masks(64 // n_chunks, flips)])
-        a = (
-            a.select("*", F.explode(masks).alias("probe_mask"))
-            .withColumn(
-                "chunk_val", F.col("chunk_val").bitwiseXOR(F.col("probe_mask"))
-            )
-            .drop("probe_mask")
-        )
-    b = hashed.select(
-        F.col("media_id").alias("id_b"),
-        F.col("phash").alias("ph_b"),
-        *[F.col(c).alias("dur_b") for c in gate_cols],
-        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
-    )
-    b, report = drop_oversized_groups(
-        b, ["chunk_id", "chunk_val"], max_bucket_size, "bucket_size"
-    )
-    # probe rows aimed at a dropped bucket can never match — prune them
-    # before they shuffle (same tiny broadcast set)
-    a = a.join(
-        F.broadcast(report.select("chunk_id", "chunk_val")),
-        ["chunk_id", "chunk_val"],
-        "left_anti",
-    )
-    pairs = (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming
-        )
+    carry = ("duration_ms",) if duration_tolerance_ms is not None else ()
+    pairs, report = _capped_hamming_self_join(
+        hashed, max_hamming, max_bucket_size, carry=carry
     )
     if duration_tolerance_ms is not None:
         pairs = pairs.filter(
-            F.col("dur_a").isNull()
-            | F.col("dur_b").isNull()
+            F.col("duration_ms_a").isNull()
+            | F.col("duration_ms_b").isNull()
             | numeric_delta_gate(
-                F.col("dur_a"), F.col("dur_b"), duration_tolerance_ms
+                F.col("duration_ms_a"), F.col("duration_ms_b"),
+                duration_tolerance_ms,
             )
         )
     pairs = pairs.select("id_a", "id_b").distinct()

@@ -725,6 +725,10 @@ def test_video_frame_sampling_and_overlap_pairs(spark):
         (2, "video", bytearray(v2), "video/mp4", 64, 64, 4000),
         (3, "video", bytearray(v3), "video/mp4", 64, 64, 4000),
         (4, "video", bytearray(b""), "video/mp4", 64, 64, None),  # quarantine
+        # review finding: payload shorter than n_frames — surviving
+        # frames must keep their ORIGINAL bin index (the oracle replays
+        # bins; re-enumeration would diverge): L=2 → bins 1 and 3
+        (5, "video", bytearray(b"ab"), "video/mp4", 64, 64, None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     frames = sample_video_frames(media, n_frames=4)
@@ -737,6 +741,9 @@ def test_video_frame_sampling_and_overlap_pairs(spark):
     assert all(r.n_bytes == 100 for r in by_vid[1])
     q = by_vid[4]
     assert len(q) == 1 and q[0].quarantined and q[0].phash is None
+    assert {r.frame_idx for r in by_vid[5]} == {1, 3}, (
+        "short payloads must keep original bin indices"
+    )
     # deterministic: same payload → same frame hashes
     ph1 = {r.frame_idx: r.phash for r in by_vid[1]}
     ph2 = {r.frame_idx: r.phash for r in by_vid[2]}
