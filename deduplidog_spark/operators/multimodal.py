@@ -297,9 +297,13 @@ def _make_frame_decoder(n_frames: int):
                 # size, the real-codec analog of the stub's slice
                 # length).
                 try:
-                    total = sum(
-                        1 for _ in av.open(io.BytesIO(payload)).decode(video=0)
-                    )
+                    with av.open(io.BytesIO(payload)) as container:
+                        total = sum(1 for _ in container.decode(video=0))
+                except ImportError:
+                    # environment fault (e.g. Pillow missing), NOT a bad
+                    # row: quarantining it would silently zero video
+                    # recall fleet-wide — fail the task instead
+                    raise
                 except Exception as e:  # undecodable → quarantine
                     raise ValueError(f"undecodable video: {e}") from e
                 if not total:
@@ -309,10 +313,10 @@ def _make_frame_decoder(n_frames: int):
                 wanted = {i * total // k: i for i in range(k)}
                 out = []
                 try:
-                    for j, f in enumerate(
-                        av.open(io.BytesIO(payload)).decode(video=0)
-                    ):
-                        if j in wanted:
+                    with av.open(io.BytesIO(payload)) as container:
+                        for j, f in enumerate(container.decode(video=0)):
+                            if j not in wanted:
+                                continue
                             gray = np.asarray(
                                 f.to_image().convert("L"), dtype=np.uint8
                             )
@@ -320,6 +324,8 @@ def _make_frame_decoder(n_frames: int):
                                 (wanted[j], gray.nbytes,
                                  gray.astype(np.float32))
                             )
+                except ImportError:
+                    raise  # see above — config fault, not a bad row
                 except Exception as e:
                     raise ValueError(f"undecodable video: {e}") from e
                 return out
@@ -447,7 +453,8 @@ def near_dup_video_pairs(
     max_hamming: int = 3,
     min_shared_frames: int = 2,
     max_bucket_size: int = 1000,
-) -> DataFrame:
+    with_report: bool = False,
+):
     """Video near-dup pairs by frame-phash overlap: two videos pair
     when ≥ ``min_shared_frames`` of their sampled frames match within
     the Hamming radius — re-encodes/trims share most frames, unrelated
@@ -459,15 +466,19 @@ def near_dup_video_pairs(
     SYMMETRICALLY (least of the two sides' distinct slots, so the
     verdict cannot depend on which video got the smaller id — a
     4-identical-frame video against a 1-matching-frame video counts 1,
-    not 4). Returns (id_a, id_b, shared_frames)."""
+    not 4). Returns (id_a, id_b, shared_frames), or with
+    ``with_report`` a (pairs, dropped_buckets_report) tuple — like
+    near_dup_media_pairs, callers relying on the default cap at scale
+    should take the report and surface it (the cap trades recall for
+    boundedness; dropped buckets are the audit trail)."""
     hashed = frames.filter(F.col("phash").isNotNull())
-    matches, _report = _capped_hamming_self_join(
+    matches, report = _capped_hamming_self_join(
         hashed, max_hamming, max_bucket_size, carry=("frame_idx",)
     )
     frame_matches = matches.select(
         "id_a", "id_b", "frame_idx_a", "frame_idx_b"
     ).distinct()
-    return (
+    pairs = (
         frame_matches.groupBy("id_a", "id_b")
         .agg(
             F.least(
@@ -476,6 +487,7 @@ def near_dup_video_pairs(
         )
         .filter(F.col("shared_frames") >= min_shared_frames)
     )
+    return (pairs, report) if with_report else pairs
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

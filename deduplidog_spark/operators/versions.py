@@ -42,12 +42,19 @@ def commits_look_unsortable(files: DataFrame, sample: int = 64) -> bool:
     lazy plan builders and must not launch jobs at plan time. The CLI
     calls this when ``--collapse-versions`` is passed without
     ``--version-order-col``."""
-    # distinct BEFORE limit: a bare limit() samples whatever partition
-    # happens to come first, so a corpus whose first files use numeric
-    # counter commits would mask the git-SHA majority elsewhere
+    # distinct BEFORE the final limit — a bare limit() samples whatever
+    # partition comes first, masking a git-SHA majority behind one
+    # counter-committed repo — but bound the distinct's input first: an
+    # unbounded corpus-wide distinct would shuffle every commit value
+    # of a lake-scale table just to print a warning. 100k rows spans
+    # many partitions while keeping the aggregation trivial.
     vals = [
         r[0]
-        for r in files.select("commit").distinct().limit(sample).collect()
+        for r in files.select("commit")
+        .limit(100_000)
+        .distinct()
+        .limit(sample)
+        .collect()
         if r[0] is not None
     ]
     if not vals:

@@ -270,14 +270,21 @@ def bootstrap_append_state(
     root = state_root.rstrip("/")
     stale = [n for n in _fs_list(spark, root)
              if n.startswith("s") and n != "s000000000"]
-    if state_layout == "delta":
-        delta_batches = [
-            n
-            for fp in _fs_list(spark, root)
-            for n in _fs_list(spark, f"{root}/{fp}/delta/files")
-            if n.startswith("batch_id=") and n != "batch_id=-1"
-        ]
-        stale += delta_batches
+    # the delta-batches scan runs for BOTH layouts: a snapshot-layout
+    # bootstrap over a root holding a committed delta chain would
+    # otherwise pass (no s>0 dirs) and later snapshot batches could
+    # read the dead chain's stale contents/batch_id=k partitions
+    stale += [
+        n
+        for fp in _fs_list(spark, root)
+        for n in _fs_list(spark, f"{root}/{fp}/delta/files")
+        if n.startswith("batch_id=") and n != "batch_id=-1"
+    ]
+    stale += [
+        n
+        for n in _fs_list(spark, f"{root}/contents")
+        if n.startswith("batch_id=") and n != "batch_id=-1"
+    ]
     if stale:
         raise ValueError(
             f"state_root {root} already holds state {sorted(stale)} — "
@@ -445,6 +452,29 @@ def process_append_batch(
             raise RuntimeError(
                 f"no delta state under {root} — run "
                 "bootstrap_append_state(..., state_layout='delta') first"
+            )
+        # rewind guard: a batch id BELOW the chain's max fully-committed
+        # id means the caller's id sequence does not match this root
+        # (e.g. a StreamingQuery with a fresh checkpoint pointed at a
+        # chain the CLI already advanced) — proceeding would load state
+        # that EXCLUDES committed batches and then overwrite their
+        # partitions with a different doc set, permanently dropping
+        # those docs from files/bands/labels. Equality is allowed:
+        # foreachBatch may legitimately replay the one batch whose
+        # user-side writes completed but whose engine commit did not,
+        # and the batch-keyed overwrite is idempotent for it.
+        committed = [
+            int(n.split("=", 1)[1])
+            for n in _fs_list(spark, f"{root}/contents")
+            if n.startswith("batch_id=")
+        ]
+        if committed and batch_id < max(committed):
+            raise RuntimeError(
+                f"batch id {batch_id} would rewind the delta chain at "
+                f"{root} (max committed id {max(committed)}) — the query "
+                "checkpoint does not match this state root; resume with "
+                "the original checkpoint, or chain batch jobs via "
+                "next_delta_batch_id / run_dedupe --append"
             )
         cfg_k = cfg
         state = load_state_delta(spark, cfg, root, max_batch_id=batch_id)

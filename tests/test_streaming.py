@@ -509,3 +509,54 @@ def test_next_delta_batch_id_replays_partial_append(spark):
         .write.parquet(os.path.join(root, cfg.fingerprint(), "delta",
                                     "cc_labels", "batch_id=1"))
     assert next_delta_batch_id(spark, cfg, root) == 1
+
+
+def test_delta_chain_rejects_batch_id_rewind(spark):
+    """Review finding (r4, max pass): a batch id BELOW the chain's max
+    committed id (e.g. a StreamingQuery with a fresh checkpoint pointed
+    at a root the CLI already advanced) must be refused — proceeding
+    would load state excluding committed batches and overwrite their
+    partitions with a different doc set. Equality (the legitimate
+    at-least-once replay of the newest batch) stays allowed."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.config import DedupConfig
+    from deduplidog_spark.incremental import load_state, write_state_delta
+    from deduplidog_spark.pipeline import dedupe
+    from deduplidog_spark.streaming.incremental import process_append_batch
+
+    tmp = tempfile.mkdtemp(prefix="delta_rewind_")
+    root = os.path.join(tmp, "state")
+    cfg = DedupConfig(mode="minhash", checkpoint_dir=os.path.join(tmp, "boot"))
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(r, p, "c0", "py", c, None) for r, p, c in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, mtime timestamp",
+        )
+
+    base = df([("b", f"f{i}.py", f"unique words number {i} " * 10) for i in range(6)])
+    dedupe(base, cfg).plan.count()
+    write_state_delta(spark, load_state(spark, cfg), cfg, root)
+    base.select(
+        F.concat_ws("/", "repo", "path").alias("fid"), "content"
+    ).write.parquet(os.path.join(root, "contents", "batch_id=-1"))
+
+    b0 = df([("d0", "g.py", "unique words number 3 " * 10)])
+    b1 = df([("d1", "h.py", "unique words number 4 " * 10)])
+    process_append_batch(b0, cfg, root, 0)
+    process_append_batch(b1, cfg, root, 1)
+
+    # rewind to a committed id → refused, state untouched
+    with _pytest.raises(RuntimeError, match="rewind"):
+        process_append_batch(df([("dx", "x.py", "zz " * 30)]), cfg, root, 0)
+    d0_files = spark.read.parquet(
+        os.path.join(root, cfg.fingerprint(), "delta", "files", "batch_id=0")
+    )
+    assert [r.fid for r in d0_files.collect()] == ["d0/g.py"], (
+        "refused rewind must leave the committed batch-0 partition intact"
+    )
+    # replay of the NEWEST batch (id == max committed) stays allowed
+    process_append_batch(b1, cfg, root, 1)
