@@ -780,11 +780,11 @@ def q_media_phash_pairs(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
     )
     feats = extract_media_features(media)
-    # uncapped: the oracle is the exhaustive Hamming join, so the
-    # certified contract must not depend on bucket occupancy at the
-    # certification scale; the cap's firing path has its own planted
-    # test (test_media_hot_chunk_cap_fires)
-    return near_dup_media_pairs(feats, max_hamming=3, max_bucket_size=10**9)
+    # default cap = None (uncapped): the oracle is the exhaustive
+    # Hamming join, so the certified contract must not depend on bucket
+    # occupancy at the certification scale; the cap's firing path has
+    # its own planted test (test_media_hot_chunk_cap_fires)
+    return near_dup_media_pairs(feats, max_hamming=3)
 
 
 def q_media_near_pairs(spark, sf_dir):
@@ -810,8 +810,8 @@ def q_media_near_pairs(spark, sf_dir):
         .alias("payload"),
     )
     feats = extract_media_features(media)
-    # uncapped — same reason as q_media_phash_pairs
-    return near_dup_media_pairs(feats, max_hamming=8, max_bucket_size=10**9)
+    # default cap = None (uncapped) — same reason as q_media_phash_pairs
+    return near_dup_media_pairs(feats, max_hamming=8)
 
 
 def q_media_frames(spark, sf_dir):
@@ -859,11 +859,52 @@ def q_media_near_pairs_gated(spark, sf_dir):
         .alias("duration_ms"),
     )
     feats = extract_media_features(media)
-    # uncapped — same reason as q_media_phash_pairs
+    # default cap = None (uncapped) — same reason as q_media_phash_pairs
     return near_dup_media_pairs(
         feats, max_hamming=8, duration_tolerance_ms=5000,
-        max_bucket_size=10**9,
     )
+
+
+def q_media_video_pairs(spark, sf_dir):
+    """Frame-overlap video near-dup pairs through the REAL path (r4
+    VERDICT missing #2 — this operator was pytest-only): the
+    q_media_frames frame table (4 stub-decoded frame hashes per doc
+    payload) → near_dup_video_pairs at radius 3, where the pigeonhole
+    chunk join is exhaustive, so the oracle is the plain Hamming≤3
+    frame join regrouped by video pair with the SYMMETRIC least-side
+    distinct-slot count ≥ 2."""
+    from deduplidog_spark.operators.multimodal import near_dup_video_pairs
+
+    frames = q_media_frames(spark, sf_dir)
+    return near_dup_video_pairs(frames, max_hamming=3, min_shared_frames=2)
+
+
+def q_media_dedup_e2e(spark, sf_dir):
+    """Media dedup END-TO-END (r4 VERDICT item 5 — media stopped at
+    pairs before r5): same V5-gated radius-8 input as
+    q_media_near_pairs_gated, then dedup_media's connected components +
+    largest-payload keeper election, value-checked against a recursive
+    closure over the same pair set with the (n_bytes DESC, media_id)
+    keeper window replayed in SQL."""
+    from deduplidog_spark.operators.multimodal import (
+        dedup_media,
+        extract_media_features,
+    )
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.when(F.col("doc_id") % 37 == 0, F.encode(F.lit(""), "utf-8"))
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, (F.col("doc_id") % 4) * 10000)
+        .cast("long")
+        .alias("duration_ms"),
+    )
+    feats = extract_media_features(media)
+    return dedup_media(feats, max_hamming=8, duration_tolerance_ms=5000)
 
 
 def q_lcs_verify(spark, sf_dir):
@@ -1806,18 +1847,30 @@ def q_media_pairs_suite(spark, sf_dir):
     """Perceptual-hash pair suite — chunk join at radius 3 where the
     4×16-bit pigeonhole is exhaustive ('h3', see q_media_phash_pairs),
     at the production radius 8 with the quarantine plant ('h8',
-    see q_media_near_pairs), and radius 8 with the V5 duration gate
-    live ('h8gate', see q_media_near_pairs_gated)."""
+    see q_media_near_pairs), radius 8 with the V5 duration gate live
+    ('h8gate', see q_media_near_pairs_gated), frame-overlap video
+    pairs ('video', v1 = shared_frames, see q_media_video_pairs), and
+    the media dedup end-to-end flow ('e2e', id_b = component,
+    v1 = keeper_id, see q_media_dedup_e2e)."""
     h3 = q_media_phash_pairs(spark, sf_dir).select(
-        F.lit("h3").alias("mode"), "id_a", "id_b"
+        F.lit("h3").alias("mode"), "id_a", "id_b", _nb().alias("v1")
     )
     h8g = q_media_near_pairs_gated(spark, sf_dir).select(
-        F.lit("h8gate").alias("mode"), "id_a", "id_b"
+        F.lit("h8gate").alias("mode"), "id_a", "id_b", _nb().alias("v1")
     )
     h8 = q_media_near_pairs(spark, sf_dir).select(
-        F.lit("h8").alias("mode"), "id_a", "id_b"
+        F.lit("h8").alias("mode"), "id_a", "id_b", _nb().alias("v1")
     )
-    return h3.unionByName(h8).unionByName(h8g)
+    video = q_media_video_pairs(spark, sf_dir).select(
+        F.lit("video").alias("mode"), "id_a", "id_b",
+        F.col("shared_frames").cast("long").alias("v1"),
+    )
+    e2e = q_media_dedup_e2e(spark, sf_dir).select(
+        F.lit("e2e").alias("mode"), F.col("media_id").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.col("keeper_id").cast("long").alias("v1"),
+    )
+    return _union_all([h3, h8, h8g, video, e2e])
 
 
 def q_symlink_suite(spark, sf_dir):
@@ -3518,12 +3571,62 @@ def _compose_suite_oracles(o: dict[str, str]) -> dict[str, str]:
         SELECT 'frames', media_id, kind, n_bytes, quarantined, phash
         FROM ({_MEDIA_FRAMES_SQL}) fr_q
     """
+    # 'video': Hamming≤3 frame join over the replayed frame table,
+    # regrouped per video pair with the symmetric least-side
+    # distinct-slot count (near_dup_video_pairs semantics); radius 3
+    # makes the engine's pigeonhole chunk join exhaustive, so the
+    # plain threshold join is the exact expectation.
+    video_sql = f"""
+        WITH vfr AS (
+            SELECT media_id, CAST(substr(kind, 2) AS INTEGER) AS frame_idx,
+                   phash
+            FROM ({_MEDIA_FRAMES_SQL}) ft WHERE NOT quarantined),
+        fm AS (
+            SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                   a.frame_idx AS fa, b.frame_idx AS fb
+            FROM vfr a JOIN vfr b ON b.media_id > a.media_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3)
+        SELECT id_a, id_b,
+               least(count(DISTINCT fa), count(DISTINCT fb)) AS v1
+        FROM fm GROUP BY id_a, id_b
+        HAVING least(count(DISTINCT fa), count(DISTINCT fb)) >= 2
+    """
+    # 'e2e': recursive closure over the V5-gated radius-8 pair set →
+    # component = min reachable id; keeper = largest payload
+    # (n_bytes DESC, media_id ASC) replayed as a window — the
+    # dedup_media election (payload length is engine-identical).
+    e2e_sql = f"""
+        WITH RECURSIVE ep AS (
+            SELECT id_a, id_b FROM ({o['media_near_pairs_gated']}) gq),
+        und AS (SELECT id_a AS src, id_b AS dst FROM ep
+                UNION SELECT id_b, id_a FROM ep),
+        reach(node, comp) AS (
+            SELECT DISTINCT src, src FROM und
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node),
+        lab AS (SELECT node AS media_id, min(comp) AS component
+                FROM reach GROUP BY node),
+        sz AS (SELECT doc_id AS media_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents)
+        SELECT l.media_id AS id_a, l.component AS id_b,
+               first_value(l.media_id) OVER (
+                   PARTITION BY l.component
+                   ORDER BY s.n_bytes DESC, l.media_id ASC) AS v1
+        FROM lab l JOIN sz s USING (media_id)
+    """
     o["media_pairs_suite"] = f"""
-        SELECT 'h3' AS mode, id_a, id_b FROM ({o['media_phash_pairs']}) h3_q
+        SELECT 'h3' AS mode, id_a, id_b, {NB} AS v1
+        FROM ({o['media_phash_pairs']}) h3_q
         UNION ALL
-        SELECT 'h8', id_a, id_b FROM ({o['media_near_pairs']}) h8_q
+        SELECT 'h8', id_a, id_b, {NB} FROM ({o['media_near_pairs']}) h8_q
         UNION ALL
-        SELECT 'h8gate', id_a, id_b FROM ({o['media_near_pairs_gated']}) h8g_q
+        SELECT 'h8gate', id_a, id_b, {NB}
+        FROM ({o['media_near_pairs_gated']}) h8g_q
+        UNION ALL
+        SELECT 'video', id_a, id_b, v1 FROM ({video_sql}) vid_q
+        UNION ALL
+        SELECT 'e2e', id_a, id_b, v1 FROM ({e2e_sql}) e2e_q
     """
     o["symlink_suite"] = f"""
         SELECT 'janitor' AS mode, repo, path AS k1, target AS k2,

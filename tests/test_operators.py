@@ -622,7 +622,6 @@ def test_decode_pil_real_codec_path(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MEDIA_CODEC", "real")
 
     decode = MM._make_decoder()
-    assert decode.__name__ == "_decode_pil"
 
     def encode(n):
         img = np.empty((n, n), dtype=np.uint8)
@@ -631,15 +630,175 @@ def test_decode_pil_real_codec_path(monkeypatch):
                 img[r, c] = (r * 8 // n * 37 + c * 8 // n * 91) % 256
         return b"FAKEIMG" + n.to_bytes(2, "big") * 2 + img.tobytes()
 
-    px32, aux32 = decode(encode(32))
-    px64, aux64 = decode(encode(64))
+    px32, aux32 = decode(encode(32), "image")
+    px64, aux64 = decode(encode(64), "image")
     assert px32.shape == (32, 32) and px64.shape == (64, 64)  # full-res out
     assert aux32 == [dt.datetime(2021, 5, 1, 10, 0, 0)]  # malformed tag skipped
     assert MM._phash64(px32) == MM._phash64(px64)  # the fix, end-to-end
     with pytest.raises(ValueError):
-        decode(b"")  # quarantine contract unchanged
+        decode(b"", "image")  # quarantine contract unchanged
     with pytest.raises(ValueError):
-        decode(b"not-an-image-at-all")
+        decode(b"not-an-image-at-all", "image")
+    # kind dispatch (r4 VERDICT wrong #1): with PIL faked but no av,
+    # audio/video rows must FAIL LOUDLY (environment fault), not be
+    # sent to PIL and quarantined into silent zero recall
+    with pytest.raises(RuntimeError, match="no codec available"):
+        decode(encode(32), "audio")
+    with pytest.raises(RuntimeError, match="no codec available"):
+        decode(encode(32), "video")
+
+
+def _install_fake_av(monkeypatch, *, audio_signals=None, video_frames=None,
+                     creation_time=None):
+    """A PyAV-style fake in sys.modules: av.open(BytesIO) returns a
+    container whose decode(audio=0)/decode(video=0) yields frames
+    backed by payload-addressed numpy arrays the test plants."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class FakeFrame:
+        def __init__(self, arr):
+            self._arr = np.asarray(arr)
+
+        def to_ndarray(self, format=None):
+            return self._arr
+
+    class FakeContainer:
+        def __init__(self, payload):
+            self._payload = bytes(payload)
+            self.metadata = (
+                {"creation_time": creation_time} if creation_time else {}
+            )
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def decode(self, audio=None, video=None):
+            key = self._payload
+            if audio is not None:
+                if audio_signals is None or key not in audio_signals:
+                    raise OSError("not an audio payload")
+                for chunk in audio_signals[key]:
+                    yield FakeFrame(chunk)
+            else:
+                if video_frames is None or key not in video_frames:
+                    raise OSError("not a video payload")
+                for frame in video_frames[key]:
+                    yield FakeFrame(frame)
+
+    av_mod = types.ModuleType("av")
+
+    def fake_open(bio):
+        return FakeContainer(bio.read())
+
+    av_mod.open = fake_open
+    monkeypatch.setitem(sys.modules, "av", av_mod)
+    monkeypatch.setenv("SPARK_GRAFT_MEDIA_CODEC", "real")
+    return av_mod
+
+
+def test_decode_audio_real_codec_path(monkeypatch):
+    """r4 VERDICT wrong #1, audio leg: through the real seam a fake-av
+    audio payload must produce a NON-quarantined spectral fingerprint —
+    gain-invariant (sign hash over band energies), planar channels
+    mono-mixed, different spectra → different hashes, undecodable /
+    too-short payloads → ValueError (quarantine)."""
+    import numpy as np
+
+    import deduplidog_spark.operators.multimodal as MM
+
+    t = np.arange(4096) / 4096.0
+    low = np.sin(2 * np.pi * 8 * t)  # low-band tone
+    high = np.sin(2 * np.pi * 900 * t)  # high-band tone
+    _install_fake_av(
+        monkeypatch,
+        audio_signals={
+            b"LOW": [low],
+            b"LOW2CH": [np.stack([2.0 * low, 2.0 * low])],  # planar stereo
+            b"LOUD": [10.0 * low],
+            b"HIGH": [high[:2048], high[2048:]],  # multi-frame stream
+            b"SHORT": [np.ones(16)],
+        },
+        creation_time="2022-03-04T05:06:07.000000Z",
+    )
+    decode = MM._make_decoder()
+    px, aux = decode(b"LOW", "audio")
+    assert px.shape == (8, 8) and px.dtype == np.float32
+    import datetime as dt
+
+    assert aux == [dt.datetime(2022, 3, 4, 5, 6, 7)]
+    h_low = MM._phash64(px)
+    assert MM._phash64(decode(b"LOUD", "audio")[0]) == h_low  # gain-invariant
+    assert MM._phash64(decode(b"LOW2CH", "audio")[0]) == h_low  # mono mix
+    assert MM._phash64(decode(b"HIGH", "audio")[0]) != h_low  # different audio
+    with pytest.raises(ValueError):
+        decode(b"SHORT", "audio")  # < 64 samples → quarantine
+    with pytest.raises(ValueError):
+        decode(b"garbage-not-audio", "audio")
+    with pytest.raises(ValueError):
+        decode(b"", "audio")
+
+
+def test_decode_video_real_codec_path(monkeypatch):
+    """r4 VERDICT wrong #1, video leg: the FEATURES path must decode a
+    fake-av video payload via the first grayscale frame (no PIL
+    involved) — same-scene different-resolution videos hash equal
+    through the pooling, undecodable payloads quarantine, so
+    near_dup_media_pairs(duration_tolerance_ms=…) works on real video
+    instead of yielding nothing."""
+    import numpy as np
+
+    import deduplidog_spark.operators.multimodal as MM
+
+    def scene(n):
+        img = np.empty((n, n), dtype=np.uint8)
+        for r in range(n):
+            for c in range(n):
+                img[r, c] = (r * 8 // n * 37 + c * 8 // n * 91) % 256
+        return img
+
+    _install_fake_av(
+        monkeypatch,
+        video_frames={
+            b"V32": [scene(32), np.zeros((32, 32))],  # first frame wins
+            b"V64": [scene(64)],
+        },
+    )
+    decode = MM._make_decoder()
+    px32, aux = decode(b"V32", "video")
+    assert px32.shape == (32, 32) and aux == []
+    assert MM._phash64(px32) == MM._phash64(decode(b"V64", "video")[0])
+    with pytest.raises(ValueError):
+        decode(b"not-a-video", "video")
+    with pytest.raises(ValueError):
+        decode(b"", "video")
+    # image kind has no codec here (no PIL faked) → loud, not quarantined
+    with pytest.raises(RuntimeError, match="no codec available"):
+        decode(b"V32", "image")
+
+
+def test_pool8x8_color_frame_and_bad_rank():
+    """r4 ADVICE: an H×W×C color frame pools via the channel mean (not
+    the flatten-and-cycle np.resize the pooling fix removed), and a
+    frame of any other rank raises (→ quarantine) instead of hashing
+    garbage."""
+    import numpy as np
+
+    from deduplidog_spark.operators.multimodal import _phash64, _pool8x8
+
+    gray = np.arange(32 * 32, dtype=np.float32).reshape(32, 32)
+    color = np.stack([gray, gray + 30, gray - 30], axis=-1)  # H×W×3
+    assert np.allclose(_pool8x8(color), _pool8x8(gray))
+    assert _phash64(color) == _phash64(gray)
+    with pytest.raises(ValueError):
+        _pool8x8(np.zeros((2, 2, 2, 2)))
+    with pytest.raises(ValueError):
+        _pool8x8(np.zeros((4, 4, 7)))  # 7 "channels" is no color layout
 
 
 def test_media_hot_chunk_cap_fires(spark):
@@ -667,7 +826,9 @@ def test_media_hot_chunk_cap_fires(spark):
     )
     rep = report.collect()
     assert rep and all(r.bucket_size == 30 for r in rep)
-    uncapped = near_dup_media_pairs(feats, max_hamming=8, max_bucket_size=1000)
+    # default (max_bucket_size=None) is the exhaustive join — the
+    # clique's pairs come back, and no cap warning fires
+    uncapped = near_dup_media_pairs(feats, max_hamming=8)
     assert uncapped.filter("id_a < 30 AND id_b < 30").count() == 30 * 29 // 2
 
 
@@ -760,6 +921,53 @@ def test_video_frame_sampling_and_overlap_pairs(spark):
     # threshold above the overlap → pruned
     strict = near_dup_video_pairs(frames, max_hamming=3, min_shared_frames=4)
     assert not [r for r in strict.collect() if (r.id_a, r.id_b) == (1, 2)]
+
+
+def test_dedup_media_end_to_end(spark):
+    """r4 VERDICT item 5: the media flow must run THROUGH clustering —
+    features → pairs → connected components → keeper — over the
+    synthesize_media table. At max_hamming=0 components are exactly the
+    equal-phash groups, so a Python replay over the collected feature
+    rows is a full oracle: component = min id, keeper = largest payload
+    (n_bytes desc, id asc), quarantined rows never appear."""
+    from deduplidog_spark.operators.multimodal import (
+        dedup_media,
+        extract_media_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=64)
+    feats = extract_media_features(media).localCheckpoint()
+    rows = feats.collect()
+    assert any(r.quarantined for r in rows)  # the planted empty payloads
+    groups = {}
+    for r in rows:
+        if r.phash is not None:
+            groups.setdefault(r.phash, []).append((r.media_id, r.n_bytes))
+    expected = set()
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        comp = min(m for m, _ in members)
+        keeper = min(members, key=lambda t: (-t[1], t[0]))[0]
+        expected |= {
+            (m, comp, keeper, m == keeper) for m, _ in members
+        }
+    assert expected, "synthesize_media must plant at least one dup group"
+    got = {
+        (r.media_id, r.component, r.keeper_id, r.is_keeper)
+        for r in dedup_media(feats, max_hamming=0).collect()
+    }
+    assert got == expected
+    # a finite cap with the report discarded must warn (r4 ADVICE —
+    # silently lossy pair sets); taking the report must not
+    with pytest.warns(UserWarning, match="max_bucket_size"):
+        dedup_media(feats, max_hamming=0, max_bucket_size=10)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        dedup_media(feats, max_hamming=0, max_bucket_size=10, with_report=True)
 
 
 def test_edit_ratio_udf_exact_and_vectorized(spark):
