@@ -320,7 +320,8 @@ def q_token_count(spark, sf_dir):
 
 # planted multi-language docs for the lang_id suite's 'multi' mode —
 # negative doc_ids so they can never collide with the documents table;
-# mirrored verbatim in the oracle's VALUES clause
+# mirrored verbatim in the oracle's VALUES clause (no apostrophes: the
+# texts are interpolated into a SQL VALUES list)
 _LANG_PLANTS = [
     (-1, "der hund ist nicht ein tier und die katze ist mit dem hund im haus"),
     (-2, "le chat est dans la maison et le chien est sur la table pour le jeu"),
@@ -328,6 +329,20 @@ _LANG_PLANTS = [
     (-4, "the cat is on the table and it is a good day for the old dog"),
     (-5, "hallo"),  # < 5 tokens → unknown
     (-6, "zzz qqq www eee rrr ttt yyy uuu"),  # no profile hits → other
+    # r5 (VERDICT next-round #6): one plant per new profile, worded so
+    # the target density strictly beats every other profile
+    (-7, "el perro está con los gatos pero las casas del pueblo son más grandes"),
+    (-8, "il gatto è nel giardino e gli uccelli sono della città perché molto belli"),
+    (-9, "você não sabe que uma pessoa também gosta muito isso ele seu amigo"),
+    (-10, "de hond en het huis een kat van niet dat ik je maar zijn voor ook"),
+    # CJK gate plants: no spaces → the token heuristics would call
+    # these 'unknown'; the char-class gate must fire first
+    (-11, "猫は家の中にいます犬も庭にいます今日は良い天気です"),  # kana+kanji → ja
+    (-12, "고양이가 집 안에 있습니다 개는 마당에 있습니다 오늘은 날씨가 좋습니다"),  # hangul → ko
+    (-13, "猫在房子里狗在院子里今天天气很好我们一起去公园散步"),  # han only → zh
+    # mixed-script BELOW the 30% gate: latin text with a few CJK chars
+    # must fall through to the token profiles, not misfire the gate
+    (-14, "the cat is on the table and it is a good day 猫犬"),
 ]
 
 
@@ -2519,12 +2534,19 @@ _NAME_KNOB_ORACLES = (
 def _lang_id_suite_oracle_sql() -> str:
     """Generated mirror of q_lang_id: the 'heuristic' mode replays the
     en/other stopword-density rule; the 'multi' mode replays
-    textstats.language_id_multi — profile hit lists, densities, and
-    the CASE tie-break order are all generated FROM
-    textstats.LANGUAGE_PROFILES so the two engines cannot drift.
-    Density arithmetic is a single DOUBLE division on both sides, so
-    the equality comparisons against greatest() are bit-exact."""
-    from deduplidog_spark.operators.textstats import LANGUAGE_PROFILES
+    textstats.language_id_multi — profile hit lists, densities, the
+    CASE tie-break order AND the CJK char-class gate regexes are all
+    generated FROM textstats so the two engines cannot drift. Density
+    arithmetic is a single DOUBLE division on both sides, so the
+    equality comparisons against greatest() are bit-exact; the CJK
+    gate compares integer cross-products (cjk·10 ≥ nonspace·3), no
+    floats at all."""
+    from deduplidog_spark.operators.textstats import (
+        _HAN_RE,
+        _HANGUL_RE,
+        _KANA_RE,
+        LANGUAGE_PROFILES,
+    )
 
     dens_cols = ",\n               ".join(
         "CAST(len(list_filter(toks, t -> t IN ("
@@ -2554,18 +2576,27 @@ def _lang_id_suite_oracle_sql() -> str:
         UNION ALL
         SELECT 'multi', doc_id,
                CASE
+                 WHEN cjk > 0 AND cjk * 10 >= nonspace * 3 THEN
+                      CASE WHEN kana > 0 THEN 'ja'
+                           WHEN hangul > 0 THEN 'ko'
+                           ELSE 'zh' END
                  WHEN len(toks) < 5 THEN 'unknown'
                  WHEN {mx} < 0.02 THEN 'other'
                      {case_arms}
                  ELSE 'other'
                END AS lang_id
         FROM (
-            SELECT doc_id, toks,
+            SELECT doc_id, toks, kana, hangul, nonspace,
+                   han + kana + hangul AS cjk,
                {dens_cols}
             FROM (
                 SELECT doc_id,
                        list_filter(string_split_regex(lower(text), '\\s+'),
-                                   t -> t <> '') AS toks
+                                   t -> t <> '') AS toks,
+                       len(regexp_extract_all(text, '{_HAN_RE}')) AS han,
+                       len(regexp_extract_all(text, '{_KANA_RE}')) AS kana,
+                       len(regexp_extract_all(text, '{_HANGUL_RE}')) AS hangul,
+                       len(regexp_replace(text, '\\s', '', 'g')) AS nonspace
                 FROM (SELECT doc_id, text FROM documents
                       UNION ALL
                       SELECT * FROM (VALUES {plants}) AS p(doc_id, text))))

@@ -60,7 +60,8 @@ def language_id(text: Column) -> Column:
 # Per-language stopword profiles for the multi-language scorer.
 # Tuple order is the TIE-BREAK order (first profile reaching the max
 # density wins) — the DuckDB oracle replays the same CASE order, so
-# keep them in sync. 'code' is a source-code profile (Python-ish
+# keep them in sync (new profiles are APPENDED so existing tie
+# outcomes never shift). 'code' is a source-code profile (Python-ish
 # keywords), the dominant "language" of this engine's input contract.
 LANGUAGE_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("code", ("def", "import", "return", "self", "class", "lambda",
@@ -71,7 +72,24 @@ LANGUAGE_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
             "pour", "que", "qui", "pas", "ce", "sur", "au")),
     ("en", ("the", "a", "an", "of", "to", "in", "and", "is", "it",
             "for", "on", "with")),
+    ("es", ("el", "los", "las", "una", "del", "por", "con", "como",
+            "más", "pero", "sus", "está", "son", "muy")),
+    ("it", ("il", "gli", "della", "delle", "nel", "sono", "anche",
+            "più", "questo", "perché", "molto", "essere", "ma", "come")),
+    ("pt", ("não", "uma", "você", "são", "também", "isso", "ele",
+            "seu", "nos", "pelo", "mas", "como", "já", "foi")),
+    ("nl", ("de", "het", "een", "van", "niet", "dat", "ik", "je",
+            "maar", "zijn", "voor", "ook", "wat", "naar")),
 )
+
+# CJK script ranges for the whitespace-free-language gate: stopword
+# token densities are meaningless for languages written without
+# spaces, so char-class counts gate FIRST. Plain BMP ranges — the same
+# literal character classes compile identically under Java regex
+# (Spark) and RE2 (DuckDB), unlike \p{script=...} names, which differ.
+_HAN_RE = "[一-鿿]"  # CJK Unified Ideographs
+_KANA_RE = "[぀-ヿ]"  # Hiragana + Katakana
+_HANGUL_RE = "[가-힯]"  # Hangul syllables
 
 
 def language_id_multi(text: Column, min_density: float = 0.02) -> Column:
@@ -79,11 +97,18 @@ def language_id_multi(text: Column, min_density: float = 0.02) -> Column:
     pure built-in expressions (the profile arrays fold to constants in
     the plan; zero shuffle, zero UDF, DuckDB-replayable).
 
-    Score = per-language stopword occurrence density over lowercased
-    whitespace tokens; winner = densest profile, ties broken in
-    LANGUAGE_PROFILES order. < 5 tokens → 'unknown'; max density below
-    ``min_density`` → 'other'. Extends the en/other ``language_id``
-    heuristic (kept for the curation gates) to de/fr/code."""
+    A CJK char-class gate runs FIRST (these scripts use no spaces, so
+    token densities are meaningless): when ≥ 30% of non-whitespace
+    characters are Han/Kana/Hangul — integer cross-multiplication, no
+    float division, so both engines agree bit-for-bit — the verdict is
+    'ja' (any kana), else 'ko' (any hangul), else 'zh'.
+
+    Otherwise: score = per-language stopword occurrence density over
+    lowercased whitespace tokens; winner = densest profile, ties broken
+    in LANGUAGE_PROFILES order. < 5 tokens → 'unknown'; max density
+    below ``min_density`` → 'other'. Extends the en/other
+    ``language_id`` heuristic (kept for the curation gates) to
+    code/de/fr/en/es/it/pt/nl + zh/ja/ko."""
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
     n_tok = F.size(toks)
     dens = {
@@ -92,8 +117,20 @@ def language_id_multi(text: Column, min_density: float = 0.02) -> Column:
         for lang, words in LANGUAGE_PROFILES
     }
     mx = F.greatest(*dens.values())
-    out = F.when(n_tok < 5, F.lit("unknown")).when(
-        mx < F.lit(float(min_density)), F.lit("other")
+    han = F.regexp_count(text, F.lit(_HAN_RE))
+    kana = F.regexp_count(text, F.lit(_KANA_RE))
+    hangul = F.regexp_count(text, F.lit(_HANGUL_RE))
+    cjk = han + kana + hangul
+    n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    out = (
+        F.when(
+            (cjk > 0) & (cjk * 10 >= n_nonspace * 3),
+            F.when(kana > 0, F.lit("ja"))
+            .when(hangul > 0, F.lit("ko"))
+            .otherwise(F.lit("zh")),
+        )
+        .when(n_tok < 5, F.lit("unknown"))
+        .when(mx < F.lit(float(min_density)), F.lit("other"))
     )
     for lang, _words in LANGUAGE_PROFILES:
         out = out.when(dens[lang] == mx, F.lit(lang))

@@ -1082,3 +1082,34 @@ def test_fork_pairs_jaccard_and_hot_sha_guard(spark):
     low, _ = fork_pairs(files, tau=0.1, max_sha_repos=6, min_shared=2)
     keys = {(r["repo_a"], r["repo_b"]): r["jaccard"] for r in low.collect()}
     assert keys == {("fork", "up"): 0.9, ("partial", "up"): 0.1818}
+
+
+def test_language_id_multi_new_profiles_and_cjk_gate(spark):
+    """r4 VERDICT next-round #6: es/it/pt/nl profiles and the CJK
+    char-class gate. The gate fires only at >= 30% CJK chars (integer
+    cross-product, no floats) and dispatches ja (kana) / ko (hangul) /
+    zh (han); latin text with a sprinkle of CJK falls through to the
+    token profiles. Existing branches (unknown/other/en/de/fr/code)
+    are pinned by the driver-certified lang_id suite."""
+    from deduplidog_spark.operators.textstats import language_id_multi
+
+    rows = [
+        ("es", "el perro está con los gatos pero las casas del pueblo son más grandes"),
+        ("it", "il gatto è nel giardino e gli uccelli sono della città perché molto belli"),
+        ("pt", "você não sabe que uma pessoa também gosta muito isso ele seu amigo"),
+        ("nl", "de hond en het huis een kat van niet dat ik je maar zijn voor ook"),
+        ("ja", "猫は家の中にいます犬も庭にいます今日は良い天気です"),
+        ("ko", "고양이가 집 안에 있습니다 개는 마당에 있습니다"),
+        ("zh", "猫在房子里狗在院子里今天天气很好我们一起去公园散步"),
+        # below the 30% gate → token profiles win (en here)
+        ("en", "the cat is on the table and it is a good day 猫犬"),
+        # one-char CJK doc: ratio 1.0, gate fires even at 1 token
+        ("zh", "猫"),
+    ]
+    df = spark.createDataFrame(rows, "expected string, text string")
+    got = df.select(
+        "expected", language_id_multi(F.col("text")).alias("lang")
+    ).collect()
+    assert all(r.lang == r.expected for r in got), [
+        (r.expected, r.lang) for r in got if r.lang != r.expected
+    ]

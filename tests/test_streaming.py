@@ -560,3 +560,156 @@ def test_delta_chain_rejects_batch_id_rewind(spark):
     )
     # replay of the NEWEST batch (id == max committed) stays allowed
     process_append_batch(b1, cfg, root, 1)
+
+
+def test_append_chain_default_layout_unified():
+    """r4 VERDICT wrong #3: every entry point to the append chain must
+    share ONE state-layout default (DEFAULT_STATE_LAYOUT = delta) —
+    the CLI defaulted to snapshot while the stream defaulted to delta."""
+    import inspect
+    import pathlib
+
+    from deduplidog_spark.streaming.incremental import (
+        DEFAULT_STATE_LAYOUT,
+        bootstrap_append_state,
+        process_append_batch,
+        streaming_append_dedupe,
+    )
+
+    assert DEFAULT_STATE_LAYOUT == "delta"
+    for fn in (bootstrap_append_state, streaming_append_dedupe,
+               process_append_batch):
+        assert (
+            inspect.signature(fn).parameters["state_layout"].default
+            == DEFAULT_STATE_LAYOUT
+        ), fn.__name__
+    cli = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "scripts" / "run_dedupe.py"
+    ).read_text()
+    assert "or DEFAULT_STATE_LAYOUT" in cli, (
+        "run_dedupe.py must derive its default from DEFAULT_STATE_LAYOUT"
+    )
+
+
+def test_compact_every_bounds_chain_and_interops_with_cli(spark):
+    """The every-N-batches compaction hook (r4 VERDICT next-round #2):
+    with compact_every=1 each committed append folds the chain, so
+    state partitions stay bounded at ONE seed per stage while contents
+    partitions (the raw batch inputs, needed for verify) keep
+    accumulating — and a later CLI-style append (next_delta_batch_id +
+    process_append_batch) chains on the compacted root, still finding
+    duplicates of pre-compaction docs."""
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.config import DedupConfig
+    from deduplidog_spark.incremental import load_state, write_state_delta
+    from deduplidog_spark.pipeline import dedupe
+    from deduplidog_spark.streaming.incremental import (
+        next_delta_batch_id,
+        process_append_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="compact_hook_")
+    root = os.path.join(tmp, "state")
+    cfg = DedupConfig(mode="minhash", checkpoint_dir=os.path.join(tmp, "boot"))
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(r, p, "c0", "py", c, None) for r, p, c in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, mtime timestamp",
+        )
+
+    base = df([("b", f"f{i}.py", f"unique words number {i} " * 10)
+               for i in range(6)])
+    dedupe(base, cfg).plan.count()
+    write_state_delta(spark, load_state(spark, cfg), cfg, root)
+    base.select(
+        F.concat_ws("/", "repo", "path").alias("fid"), "content"
+    ).write.parquet(os.path.join(root, "contents", "batch_id=-1"))
+
+    b0 = df([("d0", "g.py", "unique words number 3 " * 10)])
+    b1 = df([("d1", "h.py", "brand new words here " * 10)])
+    process_append_batch(b0, cfg, root, 0, compact_every=1)
+    process_append_batch(b1, cfg, root, 1, compact_every=1)
+
+    delta = os.path.join(root, cfg.fingerprint(), "delta")
+    for stage in ("files", "minhash_bands", "band_reps", "cc_labels"):
+        parts = sorted(
+            d for d in os.listdir(os.path.join(delta, stage))
+            if d.startswith("batch_id=")
+        )
+        assert len(parts) == 1 and parts[0].startswith("batch_id=-"), (
+            stage, parts,
+        )
+    # contents are NOT compacted (raw verify inputs, batch-id ledger)
+    assert sorted(
+        d for d in os.listdir(os.path.join(root, "contents"))
+    ) == ["batch_id=-1", "batch_id=0", "batch_id=1"]
+
+    # CLI interop on the compacted chain: id accounting unaffected,
+    # and a duplicate of the folded batch-1 doc still clusters with it
+    k = next_delta_batch_id(spark, cfg, root)
+    assert k == 2
+    b2 = df([("d2", "hcopy.py", "brand new words here " * 10)])
+    process_append_batch(b2, cfg, root, k, compact_every=None)
+    from deduplidog_spark.incremental import load_state_delta
+
+    lab = {
+        r.fid: r.component
+        for r in load_state_delta(spark, cfg, root).labels.collect()
+    }
+    assert lab["d2/hcopy.py"] == lab["d1/h.py"]
+
+
+def test_bootstrap_refuses_foreign_fingerprint_and_compacted_chain(spark):
+    """r4 ADVICE #1: contents/ and plans/ are shared per-root, so a
+    second CONFIG must not bootstrap over a root whose first chain is
+    only seeded (batch_id=-1) — it would overwrite contents/batch_id=-1
+    and corrupt the first chain's verify inputs. Likewise a compacted
+    chain (live _seed marker) must refuse a same-config re-bootstrap:
+    the re-seeded batch_id=-1 would be invisible to the loader."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.config import DedupConfig
+    from deduplidog_spark.incremental import (
+        compact_state_delta,
+        load_state,
+        write_state_delta,
+    )
+    from deduplidog_spark.pipeline import dedupe
+    from deduplidog_spark.streaming.incremental import (
+        bootstrap_append_state,
+        process_append_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="boot_guard_")
+    root = os.path.join(tmp, "state")
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(r, p, "c0", "py", c, None) for r, p, c in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, mtime timestamp",
+        )
+
+    base = df([("b", f"f{i}.py", f"unique words number {i} " * 10)
+               for i in range(4)])
+    cfg1 = DedupConfig(mode="minhash")
+    bootstrap_append_state(base, cfg1, root)
+
+    # a DIFFERENT config (different fingerprint) at the same root, with
+    # the first chain still only at batch_id=-1 → must refuse
+    cfg2 = DedupConfig(mode="minhash", jaccard_threshold=0.5)
+    assert cfg1.fingerprint() != cfg2.fingerprint()
+    with _pytest.raises(ValueError, match="already holds state"):
+        bootstrap_append_state(base, cfg2, root)
+
+    # same config, compacted chain → live marker must refuse re-seed
+    b0 = df([("d0", "g.py", "unique words number 3 " * 10)])
+    process_append_batch(b0, cfg1, root, 0)
+    compact_state_delta(spark, cfg1, root)
+    with _pytest.raises(ValueError, match="already holds state"):
+        bootstrap_append_state(base, cfg1, root)
