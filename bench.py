@@ -37,6 +37,36 @@ DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "0") == "1"
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
 
 
+def measured_code_id() -> str | None:
+    """Identity of the code a scaling measurement exercises: the git
+    tree hash of deduplidog_spark/ plus the bench.py blob hash — doc,
+    test and entry-file commits do not change it, so a scaling series
+    measured on this round's library stays `cached: false` through
+    later bookkeeping commits, while ANY library/bench change (or a
+    dirty working tree) honestly flips the embedded block back to
+    `cached: true` until re-measured. None when git is unavailable or
+    the measured files are dirty."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        dirty = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain",
+             "deduplidog_spark", "bench.py"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if dirty:
+            return None
+        out = subprocess.run(
+            ["git", "-C", repo, "rev-parse",
+             "HEAD:deduplidog_spark", "HEAD:bench.py"],
+            capture_output=True, text=True, check=True,
+        )
+        return "+".join(out.stdout.split())
+    except Exception:
+        return None
+
+
 def _mk_spark(cores: int):
     from deduplidog_spark.session import get_spark
 
@@ -289,10 +319,18 @@ def main() -> None:
         try:
             with open(scaling_cache) as fh:
                 cached = json.load(fh)
-            out["scaling"] = dict(
-                cached["primary"] if "experiments" in cached else cached,
-                cached=True,
+            primary = cached["primary"] if "experiments" in cached else cached
+            # `cached` means "NOT measured on this code": false iff the
+            # stored series carries the code-identity stamp of the
+            # library tree + bench.py as they are NOW (see
+            # measured_code_id) — the file merely pre-existing does not
+            # make a same-code measurement stale
+            code_now = measured_code_id()
+            fresh = (
+                code_now is not None
+                and primary.get("measured_code") == code_now
             )
+            out["scaling"] = dict(primary, cached=not fresh)
         except (OSError, ValueError):
             pass
 
@@ -306,7 +344,7 @@ def main() -> None:
         keep = (
             "pairs", "n_cores", "n4_cores", "t_n_sec", "t_4n_sec",
             "files_per_sec_n", "files_per_sec_4n", "efficiency",
-            "efficiency_paired", "bench_rows", "cached",
+            "efficiency_paired", "bench_rows", "cached", "measured_unix",
         )
         out["scaling"] = {
             k: v for k, v in out["scaling"].items() if k in keep

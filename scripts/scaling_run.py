@@ -48,6 +48,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from bench import measured_code_id  # noqa: E402  (repo-root module)
+
 RESULTS = os.path.join(REPO, "scaling_results.json")
 
 
@@ -99,6 +101,11 @@ def derive(n: int, rows: int, t_n_runs: list, t_4n_runs: list) -> dict:
         "efficiency_paired": round(statistics.median(eff_pairs), 3),
         "bench_rows": rows,
         "measured_unix": int(time.time()),
+        # code-identity stamp: bench.py flips its embedded block to
+        # cached=false only while the library tree + bench.py still
+        # hash to this (so the "fresh on HEAD" claim is machine-checked,
+        # not asserted) — None on a dirty tree
+        "measured_code": measured_code_id(),
     }
 
 
@@ -129,7 +136,8 @@ def main() -> None:
 
     prior = next(
         (e for e in data["experiments"]
-         if (e["n_cores"], e["bench_rows"]) == (n, rows)),
+         # .get: non-pair entries (core_sweep) carry no n_cores
+         if (e.get("n_cores"), e.get("bench_rows")) == (n, rows)),
         None,
     )
     if extend and prior is not None:
@@ -141,8 +149,12 @@ def main() -> None:
 
     data["experiments"] = [
         e for e in data["experiments"]
-        if (e["n_cores"], e["bench_rows"]) != (n, rows)
+        if (e.get("n_cores"), e.get("bench_rows")) != (n, rows)
     ] + [exp]
+    if prior is not None and not extend:
+        # a same-key re-measurement supersedes the old entry but its
+        # evidence (other code versions / host windows) stays on file
+        data.setdefault("history", []).append(prior)
     if primary or data.get("primary") is None:
         data["primary"] = exp
     with open(RESULTS, "w") as fh:
