@@ -833,6 +833,7 @@ def load_state_delta(
 
 def compact_state_delta(
     spark: SparkSession, cfg: DedupConfig, root: str | None,
+    max_batch_id: int | None = None,
 ) -> int | None:
     """Fold the delta chain into a fresh seed (round-4 VERDICT weak #2:
     without compaction every micro-batch load unions O(chain) partition
@@ -848,6 +849,15 @@ def compact_state_delta(
     authoritative; after (2) the superseded partitions are invisible
     garbage the next compaction removes.
 
+    ``max_batch_id`` bounds what is folded to batches < it — REQUIRED
+    for correctness when a later batch may be mid-write or crashed:
+    folding a crashed attempt's partial partitions into the seed would
+    make its own replay DOUBLE its rows (the seed would already carry
+    part of the batch the replay re-appends; replayed partitions stay
+    > C and visible). The streaming hook passes its just-committed
+    batch id + 1; manual CLI compaction should pass
+    ``next_delta_batch_id(...)`` or quiesce the chain first.
+
     Labels are written PRE-COLLAPSED (one row per fid), so the next
     load's latest-batch-wins window runs over seed + recent batches
     only. Returns the new generation, or None when there was nothing
@@ -855,14 +865,19 @@ def compact_state_delta(
     store = _delta_store(spark, cfg, root)
     gen, folded = _current_seed(store)
     batch_ids = [
-        b for b in store.list_partitions("cc_labels") if b > folded
+        b for b in store.list_partitions("cc_labels")
+        if b > folded and (max_batch_id is None or b < max_batch_id)
     ]
     if not batch_ids:
         return None  # nothing newer than the seed — no-op
     new_gen = gen + 1
     new_seed = _seed_partition(new_gen)
     folded_to = max(batch_ids)
-    state = load_state_delta(spark, cfg, root)  # the current collapsed view
+    # the collapsed view of exactly the batches being folded
+    state = load_state_delta(
+        spark, cfg, root,
+        max_batch_id=None if max_batch_id is None else folded_to + 1,
+    )
     write_state_delta(spark, state, cfg, root, batch_id=new_seed)
     store.add_marker(f"_seed_g{new_gen}_c{folded_to}")  # commit point
     # GC: everything the new seed supersedes — the old seed partition

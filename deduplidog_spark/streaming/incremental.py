@@ -551,8 +551,12 @@ def process_append_batch(
         store = _delta_store(spark, cfg, root)
         _gen, folded = _current_seed(store)
         pending = [
-            b for b in store.list_partitions("cc_labels") if b > folded
+            b for b in store.list_partitions("cc_labels")
+            if b > folded and b <= batch_id
         ]
         if len(pending) >= compact_every:
-            compact_state_delta(spark, cfg, root)
+            # bound the fold to THIS batch (just committed): anything
+            # later is an in-flight or crashed attempt whose replay
+            # would double rows if folded (see compact_state_delta)
+            compact_state_delta(spark, cfg, root, max_batch_id=batch_id + 1)
     return res

@@ -719,3 +719,78 @@ def test_delta_state_catalog_table_store(spark):
         r.name for r in spark.table(f"{prefix}_delta_markers_{fp}").collect()
     ]
     assert "_seed_g1_c0" in markers
+
+
+def test_compact_bound_excludes_uncommitted_batch(spark):
+    """Self-review r5: compacting while a crashed batch's partial state
+    partitions exist must NOT fold them — the seed would already carry
+    part of the batch its replay re-appends (replayed partitions stay
+    above the fold watermark), doubling rows. With the committed bound
+    (max_batch_id = next uncommitted id) the crashed partitions stay
+    out of the seed, the replay overwrites them, and the final state
+    has no duplicate fids and equals a full recompute."""
+    import os
+
+    from deduplidog_spark.incremental import (
+        append_state_delta,
+        compact_state_delta,
+        load_state_delta,
+        write_state_delta,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="compact_bound_")
+    root = os.path.join(tmp, "state")
+    cfg = _cfg(os.path.join(tmp, "boot"))
+    base = _df(spark, BASE_ROWS)
+    dedupe(base, cfg).plan.count()
+    write_state_delta(spark, load_state(spark, cfg), cfg, root)
+    contents = base.select(
+        F.concat_ws("/", "repo", "path").alias("fid"), "content"
+    )
+
+    b0 = _df(spark, [("d0", "x1.py", C)])
+    st = load_state_delta(spark, cfg, root, max_batch_id=0)
+    append_state_delta(
+        spark, incremental_dedupe(b0, cfg, st, base_contents=contents),
+        cfg, root, 0,
+    )  # batch 0 fully committed
+
+    # batch 1 CRASHES after its state partitions land (no ledger commit)
+    b1 = _df(spark, [("d1", "y1.py", _words("delta", 40)),
+                     ("d1", "y2.py", _words("delta", 40) + " deltatailxx")])
+    st = load_state_delta(spark, cfg, root, max_batch_id=1)
+    append_state_delta(
+        spark, incremental_dedupe(b1, cfg, st, base_contents=contents),
+        cfg, root, 1,
+    )
+
+    # operator compacts with the committed bound: only batches < 1 fold
+    assert compact_state_delta(spark, cfg, root, max_batch_id=1) == 1
+    seed_files = spark.read.parquet(
+        os.path.join(root, cfg.fingerprint(), "delta", "files", "batch_id=-2")
+    )
+    assert not [r for r in seed_files.collect() if r.fid.startswith("d1/")], (
+        "crashed batch rows must not be folded into the seed"
+    )
+
+    # replay of batch 1 (same id) then commits; no row is doubled
+    st = load_state_delta(spark, cfg, root, max_batch_id=1)
+    append_state_delta(
+        spark, incremental_dedupe(b1, cfg, st, base_contents=contents),
+        cfg, root, 1,
+    )
+    final = load_state_delta(spark, cfg, root)
+    dupes = (
+        final.files.groupBy("fid").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0, "replay after bounded compaction must not double rows"
+    full = dedupe(
+        base.unionByName(b0).unionByName(b1),
+        _cfg(tempfile.mkdtemp(prefix="full_cb_")),
+    )
+    lab = {r.fid: r.component for r in final.labels.collect()}
+    ful = {
+        r.fid: r.component
+        for r in full.clusters.select("fid", "component").collect()
+    }
+    assert lab == ful
