@@ -174,7 +174,11 @@ def main() -> None:
         if batch_loc is not None:
             k = next_delta_batch_id(spark, cfg, ckpt)
             res = process_append_batch(
-                read_corpus(spark, batch_loc), cfg, ckpt, k
+                read_corpus(spark, batch_loc), cfg, ckpt, k,
+                # same cadence as streaming_append_dedupe's default: the
+                # CLI chain must not grow unboundedly either (bounded to
+                # committed batches inside compact_state_delta)
+                compact_every=16,
             )
             if res is None:
                 print("empty batch — nothing to do")

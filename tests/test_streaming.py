@@ -590,6 +590,16 @@ def test_append_chain_default_layout_unified():
     assert "or DEFAULT_STATE_LAYOUT" in cli, (
         "run_dedupe.py must derive its default from DEFAULT_STATE_LAYOUT"
     )
+    # compaction cadence parity: the CLI append must compact like the
+    # stream does, or a CLI-driven chain regrows the read-side O(chain)
+    # cost compaction exists to bound
+    assert "compact_every=16" in cli, (
+        "run_dedupe.py --append must pass the stream's compaction cadence"
+    )
+    assert (
+        inspect.signature(streaming_append_dedupe)
+        .parameters["compact_every"].default == 16
+    )
 
 
 def test_compact_every_bounds_chain_and_interops_with_cli(spark):
