@@ -92,6 +92,18 @@ _KANA_RE = "[぀-ヿ]"  # Hiragana + Katakana
 _HANGUL_RE = "[가-힯]"  # Hangul syllables
 
 
+def _let(bindings: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``bindings`` (a
+    struct) ONCE per row and hand it to ``body`` as a lambda variable.
+    Column objects are expression TREES — referencing one twice splices
+    the whole subtree twice into the plan, and Spark's subexpression
+    elimination skips higher-order functions, so an array-valued
+    intermediate referenced from N ``when`` branches is rebuilt N times
+    per row (and bloats codegen compile time). A single-element
+    ``transform`` makes the binding a real lambda variable instead."""
+    return F.get(F.transform(F.array(bindings), body), 0)
+
+
 def language_id_multi(text: Column, min_density: float = 0.02) -> Column:
     """Multi-language ID over broadcast-literal stopword profiles —
     pure built-in expressions (the profile arrays fold to constants in
@@ -108,33 +120,64 @@ def language_id_multi(text: Column, min_density: float = 0.02) -> Column:
     in LANGUAGE_PROFILES order. < 5 tokens → 'unknown'; max density
     below ``min_density`` → 'other'. Extends the en/other
     ``language_id`` heuristic (kept for the curation gates) to
-    code/de/fr/en/es/it/pt/nl + zh/ja/ko."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
-    n_tok = F.size(toks)
-    dens = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("double")
-        / F.greatest(n_tok, F.lit(1))
-        for lang, words in LANGUAGE_PROFILES
-    }
-    mx = F.greatest(*dens.values())
-    han = F.regexp_count(text, F.lit(_HAN_RE))
-    kana = F.regexp_count(text, F.lit(_KANA_RE))
-    hangul = F.regexp_count(text, F.lit(_HANGUL_RE))
-    cjk = han + kana + hangul
-    n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
-    out = (
-        F.when(
-            (cjk > 0) & (cjk * 10 >= n_nonspace * 3),
-            F.when(kana > 0, F.lit("ja"))
-            .when(hangul > 0, F.lit("ko"))
-            .otherwise(F.lit("zh")),
+    code/de/fr/en/es/it/pt/nl + zh/ja/ko.
+
+    Two ``_let`` levels keep the plan linear: level 1 binds the token
+    array and the CJK counts (the split and each regex run once per
+    row), level 2 binds the density array (each profile filter scans
+    the bound token array once); the verdict's 9 ``when`` branches then
+    touch only O(1) element accesses."""
+    n_profiles = len(LANGUAGE_PROFILES)
+
+    def verdict(s2: Column) -> Column:
+        dens, n_tok = s2["dens"], s2["n_tok"]
+        kana, hangul = s2["kana"], s2["hangul"]
+        cjk = s2["han"] + kana + hangul
+        mx = F.greatest(*[dens[i] for i in range(n_profiles)])
+        out = (
+            F.when(
+                (cjk > 0) & (cjk * 10 >= s2["n_nonspace"] * 3),
+                F.when(kana > 0, F.lit("ja"))
+                .when(hangul > 0, F.lit("ko"))
+                .otherwise(F.lit("zh")),
+            )
+            .when(n_tok < 5, F.lit("unknown"))
+            .when(mx < F.lit(float(min_density)), F.lit("other"))
         )
-        .when(n_tok < 5, F.lit("unknown"))
-        .when(mx < F.lit(float(min_density)), F.lit("other"))
+        for i, (lang, _words) in enumerate(LANGUAGE_PROFILES):
+            out = out.when(dens[i] == mx, F.lit(lang))
+        return out.otherwise(F.lit("other"))  # unreachable; total expression
+
+    def score(s1: Column) -> Column:
+        toks = s1["toks"]
+        n_tok = F.size(toks)
+        dens = F.array(*[
+            F.size(F.filter(toks, lambda t: t.isin(*words))).cast("double")
+            / F.greatest(n_tok, F.lit(1))
+            for _lang, words in LANGUAGE_PROFILES
+        ])
+        return _let(
+            F.struct(
+                dens.alias("dens"),
+                n_tok.alias("n_tok"),
+                s1["han"].alias("han"),
+                s1["kana"].alias("kana"),
+                s1["hangul"].alias("hangul"),
+                s1["n_nonspace"].alias("n_nonspace"),
+            ),
+            verdict,
+        )
+
+    return _let(
+        F.struct(
+            F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "").alias("toks"),
+            F.regexp_count(text, F.lit(_HAN_RE)).alias("han"),
+            F.regexp_count(text, F.lit(_KANA_RE)).alias("kana"),
+            F.regexp_count(text, F.lit(_HANGUL_RE)).alias("hangul"),
+            F.length(F.regexp_replace(text, r"\s", "")).alias("n_nonspace"),
+        ),
+        score,
     )
-    for lang, _words in LANGUAGE_PROFILES:
-        out = out.when(dens[lang] == mx, F.lit(lang))
-    return out.otherwise(F.lit("other"))  # unreachable; total expression
 
 
 def quality_score(text: Column) -> Column:
