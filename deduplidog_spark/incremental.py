@@ -566,7 +566,7 @@ class _PathDeltaStore:
 
         self._fs = fsutil
         self.spark = spark
-        self.base = root.rstrip("/") + "/" + cfg.fingerprint() + "/delta"
+        self.base = _delta_root(cfg, root)
 
     def write(self, df: DataFrame, stage: str, batch_id: int) -> None:
         df.write.mode("overwrite").parquet(
@@ -724,6 +724,9 @@ def _delta_store(spark: SparkSession, cfg: DedupConfig, root: str | None):
 
 
 def _delta_root(cfg: DedupConfig, root: str) -> str:
+    """THE path-layout string — _PathDeltaStore and the staleness scans
+    in streaming.incremental both derive it from here, so the layout
+    cannot drift between the writer and the guards."""
     return root.rstrip("/") + "/" + cfg.fingerprint() + "/delta"
 
 
@@ -850,13 +853,23 @@ def compact_state_delta(
     garbage the next compaction removes.
 
     ``max_batch_id`` bounds what is folded to batches < it — REQUIRED
-    for correctness when a later batch may be mid-write or crashed:
-    folding a crashed attempt's partial partitions into the seed would
-    make its own replay DOUBLE its rows (the seed would already carry
-    part of the batch the replay re-appends; replayed partitions stay
-    > C and visible). The streaming hook passes its just-committed
-    batch id + 1; manual CLI compaction should pass
-    ``next_delta_batch_id(...)`` or quiesce the chain first.
+    for correctness when a later batch may be mid-write, crashed, or
+    still subject to foreachBatch replay: folding a batch the engine
+    may re-run would make its replay see ITS OWN rows in the loaded
+    state (the seed already carries them and the replayed partitions
+    stay > C and visible), so every replayed doc would match itself
+    and the batch plan would be overwritten with self-duplicate
+    garbage. The streaming hook therefore folds strictly EARLIER
+    batches only (``max_batch_id = current batch id`` — batch k-1's
+    engine commit is durable once batch k runs); manual CLI compaction
+    should pass ``next_delta_batch_id(...)`` or quiesce the chain
+    first. Independent of the caller's bound, the fold itself only
+    covers batches whose ``cc_labels`` partition exists — the LAST
+    stage ``append_state_delta`` writes, i.e. the append-completion
+    stamp — and the folded state is loaded with ``folded_to + 1`` as
+    its own bound, so a crashed append's partial earlier-stage
+    partitions (files/bands without cc_labels) are never baked into
+    the seed: they stay > C, and the batch's replay overwrites them.
 
     Labels are written PRE-COLLAPSED (one row per fid), so the next
     load's latest-batch-wins window runs over seed + recent batches
@@ -873,11 +886,13 @@ def compact_state_delta(
     new_gen = gen + 1
     new_seed = _seed_partition(new_gen)
     folded_to = max(batch_ids)
-    # the collapsed view of exactly the batches being folded
-    state = load_state_delta(
-        spark, cfg, root,
-        max_batch_id=None if max_batch_id is None else folded_to + 1,
-    )
+    # the collapsed view of exactly the batches being folded — ALWAYS
+    # bounded by folded_to + 1, even when the caller passed None: the
+    # fold set comes from cc_labels (the completion stamp), and an
+    # unbounded load would additionally sweep in partial earlier-stage
+    # partitions of a crashed batch > folded_to, permanently
+    # duplicating its rows once the replay re-appends them
+    state = load_state_delta(spark, cfg, root, max_batch_id=folded_to + 1)
     write_state_delta(spark, state, cfg, root, batch_id=new_seed)
     store.add_marker(f"_seed_g{new_gen}_c{folded_to}")  # commit point
     # GC: everything the new seed supersedes — the old seed partition

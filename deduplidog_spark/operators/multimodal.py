@@ -183,8 +183,24 @@ def _make_av_audio_decoder():
             with av.open(io.BytesIO(payload)) as container:
                 for fr in container.decode(audio=0):
                     arr = np.asarray(fr.to_ndarray())
-                    if arr.ndim > 1:  # planar (channels, samples) → mono
+                    try:
+                        n_ch = len(fr.layout.channels) or 1
+                    except Exception:
+                        n_ch = arr.shape[0] if arr.ndim > 1 else 1
+                    if arr.ndim > 1 and arr.shape[0] > 1:
+                        # planar (channels, samples) → mono
                         arr = arr.mean(axis=0)
+                    elif n_ch > 1 and arr.size % n_ch == 0:
+                        # packed/interleaved PCM: to_ndarray returns
+                        # (1, samples×channels) with L/R alternating,
+                        # so mean(axis=0) is a no-op and the
+                        # alternation injects energy into the top
+                        # spectral bands — the same audio packed vs
+                        # planar would fingerprint differently.
+                        # De-interleave per the frame layout instead.
+                        arr = arr.reshape(-1, n_ch).mean(axis=1)
+                    else:
+                        arr = arr.ravel()
                     chunks.append(arr.astype(np.float64))
                 aux = _container_datetimes(container)
         except ImportError:
@@ -434,54 +450,66 @@ def _make_frame_decoder(n_frames: int):
         try:
             import av  # PyAV — not in this container; real clusters
 
+            def _sample_pass(payload: bytes, total: int):
+                """One full decode, O(1) frame memory: converts ONLY
+                the uniformly-sampled indices (uint8 grayscale —
+                n_bytes is that buffer's size, the real-codec analog
+                of the stub's slice length) while counting every frame
+                it actually sees, so a lying header is detectable.
+                Returns (sampled frames, actual frame count)."""
+                import io
+
+                k = min(n_frames, total)
+                wanted = {i * total // k: i for i in range(k)}
+                out, actual = [], 0
+                with av.open(io.BytesIO(payload)) as container:
+                    for j, f in enumerate(container.decode(video=0)):
+                        actual = j + 1
+                        if j not in wanted:
+                            continue
+                        gray = np.asarray(
+                            f.to_image().convert("L"), dtype=np.uint8
+                        )
+                        out.append(
+                            (wanted[j], gray.nbytes, gray.astype(np.float32))
+                        )
+                return out, actual
+
             def _decode_av(payload: bytes):
                 import io
 
                 if not payload:
                     raise ValueError("empty media payload")
-                # two passes, O(1) frame memory: materializing every
-                # decoded frame before sampling would need ~hours-of-
-                # video × W×H bytes in one task. Pass 1 counts frames
-                # without converting; pass 2 converts ONLY the sampled
-                # indices (uint8 grayscale — n_bytes is that buffer's
-                # size, the real-codec analog of the stub's slice
-                # length).
                 try:
+                    # the header frame count is a cheap HINT (no decode)
+                    # but often wrong for VFR/remuxed files — trusting
+                    # it blind would silently shrink the sampled set and
+                    # video near-dup recall. The sampling pass counts
+                    # the frames it actually decodes; on mismatch (or a
+                    # 0/unknown header) resample with the exact count,
+                    # so a correct header costs ONE full decode (vs two
+                    # for the old count-then-sample) and a lying header
+                    # degrades to the old exact two-pass cost.
                     with av.open(io.BytesIO(payload)) as container:
-                        # stream metadata first — a full counting decode
-                        # doubles per-video cost; fall back to counting
-                        # only when the header reports 0/unknown
                         total = int(container.streams.video[0].frames or 0)
-                        if not total:
-                            total = sum(1 for _ in container.decode(video=0))
+                    if total:
+                        out, actual = _sample_pass(payload, total)
+                    else:
+                        with av.open(io.BytesIO(payload)) as container:
+                            actual = sum(
+                                1 for _ in container.decode(video=0)
+                            )
+                        out, total = None, -1
+                    if not actual:
+                        raise ValueError("video stream has no frames")
+                    if actual != total:
+                        out, _ = _sample_pass(payload, actual)
                 except ImportError:
                     # environment fault (e.g. Pillow missing), NOT a bad
                     # row: quarantining it would silently zero video
                     # recall fleet-wide — fail the task instead
                     raise
                 except Exception as e:  # undecodable → quarantine
-                    raise ValueError(f"undecodable video: {e}") from e
-                if not total:
-                    raise ValueError("video stream has no frames")
-                # uniform temporal sample; every frame when total <= n
-                k = min(n_frames, total)
-                wanted = {i * total // k: i for i in range(k)}
-                out = []
-                try:
-                    with av.open(io.BytesIO(payload)) as container:
-                        for j, f in enumerate(container.decode(video=0)):
-                            if j not in wanted:
-                                continue
-                            gray = np.asarray(
-                                f.to_image().convert("L"), dtype=np.uint8
-                            )
-                            out.append(
-                                (wanted[j], gray.nbytes,
-                                 gray.astype(np.float32))
-                            )
-                except ImportError:
-                    raise  # see above — config fault, not a bad row
-                except Exception as e:
                     raise ValueError(f"undecodable video: {e}") from e
                 return out
 

@@ -242,7 +242,11 @@ def bootstrap_append_state(
     (s…>0) or delta batches: overwriting only the seed would leave the
     stream silently preferring stale state derived from the previous
     base."""
-    from deduplidog_spark.incremental import load_state, write_state_delta
+    from deduplidog_spark.incremental import (
+        _delta_store,
+        load_state,
+        write_state_delta,
+    )
     from deduplidog_spark.pipeline import dedupe
 
     if state_layout not in ("delta", "snapshot"):
@@ -259,38 +263,58 @@ def bootstrap_append_state(
         )
     spark = base_raw.sparkSession
     root = state_root.rstrip("/")
+    store = _delta_store(spark, cfg, root)
     stale = [n for n in _fs_list(spark, root)
              if n.startswith("s") and n != "s000000000"]
-    # the delta-batches scan runs for BOTH layouts: a snapshot-layout
+    # the delta-chain scans run for BOTH layouts: a snapshot-layout
     # bootstrap over a root holding a committed delta chain would
     # otherwise pass (no s>0 dirs) and later snapshot batches could
-    # read the dead chain's stale contents/batch_id=k partitions
-    stale += [
-        n
-        for fp in _fs_list(spark, root)
-        for n in _fs_list(spark, f"{root}/{fp}/delta/files")
-        if n.startswith("batch_id=") and n != "batch_id=-1"
-    ]
+    # read the dead chain's stale contents/batch_id=k partitions.
     # contents/ and plans/ are shared per-root (NOT fingerprint-keyed),
-    # so a root is single-config: ANY other fingerprint's delta chain —
-    # even one that is only bootstrapped (batch_id=-1) — must refuse,
-    # or this bootstrap would overwrite contents/batch_id=-1 and
-    # silently corrupt the first chain's verify inputs and batch-id
-    # accounting (r4 ADVICE #1)
-    stale += [
-        f"{fp}/delta (another config's chain)"
-        for fp in _fs_list(spark, root)
-        if fp != cfg.fingerprint()
-        and _fs_list(spark, f"{root}/{fp}/delta/files")
+    # so a root is single-config: ANY other chain — another
+    # fingerprint's, or a path-layout chain when this config uses
+    # catalog tables — must refuse, or this bootstrap would overwrite
+    # contents/batch_id=-1 and silently corrupt the first chain's
+    # verify inputs and batch-id accounting (r4 ADVICE #1)
+    path_chains = [
+        fp for fp in _fs_list(spark, root)
+        if _fs_list(spark, f"{root}/{fp}/delta/files")
     ]
-    # a compacted chain's seed lives at batch_id=-(g+1) with a
-    # _seed_g<g>_c<C> marker; re-seeding batch_id=-1 under a live
-    # marker would be INVISIBLE to the loader — refuse
-    stale += [
-        n
-        for n in _fs_list(spark, f"{root}/{cfg.fingerprint()}/delta")
-        if n.startswith("_seed_")
-    ]
+    if cfg.checkpoint_table_prefix:
+        stale += [
+            f"{fp}/delta (path-layout chain at this root)"
+            for fp in path_chains
+        ]
+    else:
+        stale += [
+            f"{fp}/delta (another config's chain)"
+            for fp in path_chains
+            if fp != cfg.fingerprint()
+        ]
+    # the OWN chain is probed through its store, so the guards hold
+    # for catalog-table state (cfg.checkpoint_table_prefix) exactly as
+    # for the path layout (r5 review: path-only probes made table
+    # chains invisible here). Committed batches beyond the bootstrap
+    # partition, or a compacted chain's _seed_g<g>_c<C> marker
+    # (re-seeding batch_id=-1 under a live marker would be INVISIBLE
+    # to the loader) — refuse both
+    own_files = (
+        store.list_partitions("files") if store.stage_exists("files") else []
+    )
+    stale += [f"delta files batch_id={b}" for b in own_files if b != -1]
+    stale += store.list_markers()
+    # delta only: contents at this root with NO bootstrap partition in
+    # OUR store means some other chain (e.g. a different
+    # checkpoint_table_prefix, which leaves no path/fingerprint trace,
+    # or a dormant snapshot chain) owns this root's contents/. A
+    # snapshot re-bootstrap is exempt — it writes no delta partitions,
+    # so its own prior contents/batch_id=-1 is expected here
+    if (
+        state_layout == "delta"
+        and -1 not in own_files
+        and _fs_list(spark, f"{root}/contents")
+    ):
+        stale += ["contents (another chain's bootstrap owns this root)"]
     stale += [
         n
         for n in _fs_list(spark, f"{root}/contents")
@@ -417,8 +441,20 @@ def next_delta_batch_id(spark, cfg: DedupConfig, state_root: str) -> int:
     chaining past half-written state (which would leave docs in
     state.files with no band rows or contents — silently unfindable
     duplicates forever)."""
+    from deduplidog_spark.incremental import _delta_store
+
     root = state_root.rstrip("/")
-    if not _fs_list(spark, f"{root}/{cfg.fingerprint()}/delta/cc_labels"):
+    store = _delta_store(spark, cfg, root)
+    # seeded = the cc_labels stage exists (write_state_delta's LAST
+    # write — the bootstrap-completion stamp) AND the files stage has
+    # partitions. Probing cc_labels PARTITIONS would be wrong for the
+    # catalog-table store: an all-unique base dedupes to ZERO label
+    # rows, and an empty insert registers no partition, so a perfectly
+    # bootstrapped table chain would look unseeded; files has one row
+    # per base doc and is never empty
+    if not (
+        store.stage_exists("cc_labels") and store.list_partitions("files")
+    ):
         raise RuntimeError(
             f"no delta state under {root} — bootstrap first "
             "(bootstrap_append_state / run_dedupe without --append)"
@@ -459,6 +495,8 @@ def process_append_batch(
     loses the batch (the marker protocol in compact_state_delta makes
     the compaction itself crash-safe)."""
     from deduplidog_spark.incremental import (
+        _current_seed,
+        _delta_store,
         append_state_delta,
         compact_state_delta,
         incremental_dedupe,
@@ -473,8 +511,16 @@ def process_append_batch(
     root = state_root.rstrip("/")
     spark = batch_df.sparkSession
     if state_layout == "delta":
-        seeded = _fs_list(
-            spark, f"{root}/{cfg.fingerprint()}/delta/cc_labels"
+        # probe through the store seam, not the path layout: with
+        # cfg.checkpoint_table_prefix the chain lives in catalog tables
+        # and a path probe would wrongly report it un-bootstrapped.
+        # cc_labels existence is the bootstrap-completion stamp; the
+        # non-empty probe runs on files (see next_delta_batch_id — an
+        # all-unique base has ZERO label rows, and an empty insert
+        # registers no table partition)
+        store = _delta_store(spark, cfg, root)
+        seeded = store.stage_exists("cc_labels") and store.list_partitions(
+            "files"
         )
         if not seeded:
             raise RuntimeError(
@@ -546,17 +592,20 @@ def process_append_batch(
         for n in snaps[: -max(retain_snapshots, 2)]:
             _fs_delete(spark, f"{root}/{n}")
     if state_layout == "delta" and compact_every is not None:
-        from deduplidog_spark.incremental import _current_seed, _delta_store
-
-        store = _delta_store(spark, cfg, root)
         _gen, folded = _current_seed(store)
         pending = [
             b for b in store.list_partitions("cc_labels")
-            if b > folded and b <= batch_id
+            if b > folded and b < batch_id
         ]
         if len(pending) >= compact_every:
-            # bound the fold to THIS batch (just committed): anything
-            # later is an in-flight or crashed attempt whose replay
-            # would double rows if folded (see compact_state_delta)
-            compact_state_delta(spark, cfg, root, max_batch_id=batch_id + 1)
+            # fold strictly EARLIER batches only (max_batch_id is an
+            # exclusive bound): this batch's user-side writes are done,
+            # but the ENGINE commit happens after foreachBatch returns —
+            # a crash in that gap replays batch_id, and a seed that
+            # already contained it would make the replay dedupe the
+            # batch against itself (every doc flagged a duplicate of
+            # itself, plan overwritten with garbage). Batch id-1's
+            # engine commit is durable once this batch runs, so it is
+            # safe to fold; this batch folds on the NEXT one.
+            compact_state_delta(spark, cfg, root, max_batch_id=batch_id)
     return res

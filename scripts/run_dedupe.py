@@ -38,10 +38,11 @@ Daily-ingest loop:
 
 Migration from pre-round-5 defaults: chains created with the old
 snapshot default keep working — pass ``--state-layout snapshot``
-explicitly (the flag is the legacy shape, not removed). Two classic
+explicitly (the flag is the legacy shape, not removed). Three classic
 shapes auto-fall back to snapshot with a note when no flag is given:
-table: checkpoint targets and --collapse-versions runs, neither of
-which can host a delta chain.
+table: checkpoint targets, --collapse-versions runs, and explicit
+--state-out roll-forward targets, none of which can host a delta
+chain.
 """
 
 from __future__ import annotations
@@ -84,7 +85,10 @@ def main() -> None:
     state_layout = state_layout_flag or DEFAULT_STATE_LAYOUT
     if state_layout not in ("snapshot", "delta"):
         sys.exit(f"--state-layout must be snapshot or delta, got {state_layout!r}")
-    if state_layout == "delta" and state_out:
+    if state_layout_flag == "delta" and state_out:
+        # only an EXPLICIT delta request conflicts; with the defaulted
+        # layout, --state-out is a classic snapshot-chain shape that
+        # falls back below instead of failing a previously-valid call
         sys.exit(
             "--state-out is a snapshot-layout knob; the delta layout "
             "appends batch-keyed partitions under the root itself"
@@ -131,17 +135,20 @@ def main() -> None:
 
     if state_layout == "delta" and not state_layout_flag:
         # the default layout is delta (r4 VERDICT #7: both entry points
-        # to the append chain share DEFAULT_STATE_LAYOUT), but two
+        # to the append chain share DEFAULT_STATE_LAYOUT), but three
         # classic-run shapes cannot host a chain: table: targets (no
-        # path root for contents/plans) and --collapse-versions runs
-        # (appends reject collapse) — those fall back to the legacy
-        # flow with a note instead of failing a previously-valid call
-        if ckpt.startswith("table:") or collapse:
+        # path root for contents/plans), --collapse-versions runs
+        # (appends reject collapse), and explicit --state-out roll-
+        # forward targets (a snapshot-chain knob) — those fall back to
+        # the legacy flow with a note instead of failing a
+        # previously-valid call
+        if ckpt.startswith("table:") or collapse or state_out:
             print(
                 "note: running the classic stage-checkpoint flow "
-                "(table: targets and --collapse-versions runs cannot "
-                "host a delta append chain); pass --state-layout "
-                "snapshot to silence this note",
+                "(table: targets, --collapse-versions runs and "
+                "--state-out targets cannot host a delta append "
+                "chain); pass --state-layout snapshot to silence "
+                "this note",
                 file=sys.stderr,
             )
             state_layout = "snapshot"

@@ -794,3 +794,86 @@ def test_compact_bound_excludes_uncommitted_batch(spark):
         for r in full.clusters.select("fid", "component").collect()
     }
     assert lab == ful
+
+
+def test_compact_unbounded_skips_partial_stage_writes(spark):
+    """r5 review #3: compact_state_delta(max_batch_id=None) must fold
+    only batches whose cc_labels partition exists — the LAST stage
+    append_state_delta writes, i.e. the append-completion stamp. A
+    crashed append that left only earlier-stage partitions (files,
+    bands) must stay OUT of the seed: folding them would permanently
+    double the batch's rows once its replay re-appends them (the
+    replayed partitions stay above the fold watermark and visible)."""
+    import os
+
+    from deduplidog_spark.incremental import (
+        _delta_store,
+        append_state_delta,
+        compact_state_delta,
+        load_state_delta,
+        write_state_delta,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="compact_partial_")
+    root = os.path.join(tmp, "state")
+    cfg = _cfg(os.path.join(tmp, "boot"))
+    base = _df(spark, BASE_ROWS)
+    dedupe(base, cfg).plan.count()
+    write_state_delta(spark, load_state(spark, cfg), cfg, root)
+    contents = base.select(
+        F.concat_ws("/", "repo", "path").alias("fid"), "content"
+    )
+
+    b0 = _df(spark, [("d0", "x1.py", C)])
+    st = load_state_delta(spark, cfg, root, max_batch_id=0)
+    append_state_delta(
+        spark, incremental_dedupe(b0, cfg, st, base_contents=contents),
+        cfg, root, 0,
+    )  # batch 0 fully committed
+
+    # batch 1 CRASHES mid-append: files + bands land, cc_labels does NOT
+    b1 = _df(spark, [("d1", "y1.py", _words("delta", 40))])
+    st = load_state_delta(spark, cfg, root, max_batch_id=1)
+    r1 = incremental_dedupe(b1, cfg, st, base_contents=contents)
+    store = _delta_store(spark, cfg, root)
+    store.write(r1.new_files, "files", 1)
+    store.write(r1.new_bands, "minhash_bands", 1)
+    store.write(r1.new_band_reps, "band_reps", 1)
+
+    # UNBOUNDED compaction (quiesced-chain semantics): folds through
+    # batch 0 only — cc_labels is the completion stamp
+    assert compact_state_delta(spark, cfg, root, max_batch_id=None) == 1
+    delta = os.path.join(root, cfg.fingerprint(), "delta")
+    assert sorted(
+        n for n in os.listdir(delta) if n.startswith("_seed_")
+    ) == ["_seed_g1_c0"]
+    seed_files = spark.read.parquet(
+        os.path.join(delta, "files", "batch_id=-2")
+    )
+    assert not [r for r in seed_files.collect() if r.fid.startswith("d1/")], (
+        "a crashed batch's partial files partition must not be folded"
+    )
+    # the partial partitions stay above the fold watermark, replayable
+    assert os.path.isdir(os.path.join(delta, "files", "batch_id=1"))
+
+    # replay of batch 1 commits fully; no row doubled, labels == full
+    st = load_state_delta(spark, cfg, root, max_batch_id=1)
+    append_state_delta(
+        spark, incremental_dedupe(b1, cfg, st, base_contents=contents),
+        cfg, root, 1,
+    )
+    final = load_state_delta(spark, cfg, root)
+    dupes = (
+        final.files.groupBy("fid").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0, "partial-stage fold would have doubled batch rows"
+    full = dedupe(
+        base.unionByName(b0).unionByName(b1),
+        _cfg(tempfile.mkdtemp(prefix="full_cp_")),
+    )
+    lab = {r.fid: r.component for r in final.labels.collect()}
+    ful = {
+        r.fid: r.component
+        for r in full.clusters.select("fid", "component").collect()
+    }
+    assert lab == ful

@@ -659,8 +659,11 @@ def _install_fake_av(monkeypatch, *, audio_signals=None, video_frames=None,
     import numpy as np
 
     class FakeFrame:
-        def __init__(self, arr):
+        def __init__(self, arr, n_ch=None):
             self._arr = np.asarray(arr)
+            if n_ch is None:  # planar: one plane per channel
+                n_ch = self._arr.shape[0] if self._arr.ndim > 1 else 1
+            self.layout = types.SimpleNamespace(channels=("ch",) * n_ch)
 
         def to_ndarray(self, format=None):
             return self._arr
@@ -684,7 +687,12 @@ def _install_fake_av(monkeypatch, *, audio_signals=None, video_frames=None,
                 if audio_signals is None or key not in audio_signals:
                     raise OSError("not an audio payload")
                 for chunk in audio_signals[key]:
-                    yield FakeFrame(chunk)
+                    # a (array, n_channels) tuple plants a PACKED frame:
+                    # interleaved samples with an explicit channel layout
+                    if isinstance(chunk, tuple):
+                        yield FakeFrame(*chunk)
+                    else:
+                        yield FakeFrame(chunk)
             else:
                 if video_frames is None or key not in video_frames:
                     raise OSError("not a video payload")
@@ -742,6 +750,133 @@ def test_decode_audio_real_codec_path(monkeypatch):
         decode(b"garbage-not-audio", "audio")
     with pytest.raises(ValueError):
         decode(b"", "audio")
+
+
+def test_decode_audio_packed_interleaved_matches_planar(monkeypatch):
+    """r5 review #4: PyAV returns PLANAR audio as (channels, samples)
+    but PACKED formats as (1, samples×channels) interleaved — treating
+    the packed shape as already-mono leaves L/R alternating at 2× rate,
+    injecting alternation energy into the top spectral bands, so the
+    SAME audio packed vs planar would fingerprint differently (silent
+    missed duplicates across encodings). The decoder must de-interleave
+    per the frame's channel layout."""
+    import numpy as np
+
+    import deduplidog_spark.operators.multimodal as MM
+
+    t = np.arange(4096) / 4096.0
+    left = np.sin(2 * np.pi * 8 * t)  # low tone
+    right = np.sin(2 * np.pi * 900 * t)  # high tone — L≠R is load-bearing
+    packed = np.empty((1, 2 * left.size))
+    packed[0, 0::2] = left
+    packed[0, 1::2] = right
+    mono = np.empty((1, left.size))  # genuinely mono, 1-channel layout
+    mono[0] = left
+    _install_fake_av(
+        monkeypatch,
+        audio_signals={
+            b"PLANAR": [np.stack([left, right])],  # (2, N)
+            b"PACKED": [(packed, 2)],  # (1, 2N) interleaved, 2-ch layout
+            b"MONO": [(mono, 1)],
+            b"MONO1D": [left],
+        },
+    )
+    decode = MM._make_decoder()
+    h_planar = MM._phash64(decode(b"PLANAR", "audio")[0])
+    h_packed = MM._phash64(decode(b"PACKED", "audio")[0])
+    assert h_packed == h_planar, (
+        "packed-interleaved stereo must fingerprint like its planar twin"
+    )
+    # a 1-channel layout must NOT be de-interleaved
+    assert MM._phash64(decode(b"MONO", "audio")[0]) == MM._phash64(
+        decode(b"MONO1D", "audio")[0]
+    )
+
+
+def test_frame_decoder_header_count_is_hint_not_truth(monkeypatch):
+    """r5 review #5: the container header's frame count is often wrong
+    for VFR/remuxed files — trusting it blind silently shrinks the
+    sampled frame set (and video near-dup recall). The sampler must
+    treat it as a hint: a correct header costs ONE full decode, a lying
+    or missing header falls back to exact counting, and the sampled
+    frames are IDENTICAL in all three cases."""
+    import sys
+    import types
+
+    import numpy as np
+
+    import deduplidog_spark.operators.multimodal as MM
+
+    frames = [np.full((8, 8), j, dtype=np.uint8) for j in range(8)]
+    decode_calls = []
+
+    class _Img:
+        def __init__(self, arr):
+            self._a = arr
+
+        def convert(self, mode):
+            return self._a
+
+    class _Frame:
+        def __init__(self, arr):
+            self._a = arr
+
+        def to_image(self):
+            return _Img(self._a)
+
+    header_by_payload = {}
+
+    class _Container:
+        def __init__(self, payload):
+            self._payload = payload
+            stream = types.SimpleNamespace(
+                frames=header_by_payload[payload]
+            )
+            self.streams = types.SimpleNamespace(video=[stream])
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def decode(self, video=None):
+            decode_calls.append(self._payload)
+            if self._payload == b"EMPTY":
+                return
+            for fr in frames:
+                yield _Frame(fr)
+
+    av_mod = types.ModuleType("av")
+    av_mod.open = lambda bio: _Container(bio.read())
+    monkeypatch.setitem(sys.modules, "av", av_mod)
+    monkeypatch.setenv("SPARK_GRAFT_MEDIA_CODEC", "real")
+
+    dec = MM._make_frame_decoder(4)
+
+    def run(payload, header):
+        header_by_payload[payload] = header
+        decode_calls.clear()
+        out = dec(payload)
+        return [(i, int(px[0, 0])) for i, _, px in out], len(decode_calls)
+
+    honest, n_honest = run(b"OK", 8)
+    assert honest == [(0, 0), (1, 2), (2, 4), (3, 6)]
+    assert n_honest == 1, "a correct header must cost ONE decode pass"
+
+    lying, n_lying = run(b"LIE", 100)  # header says 100, stream has 8
+    assert lying == honest, (
+        "a lying header must not shrink/shift the sampled frame set"
+    )
+    assert n_lying == 2  # detect + exact resample
+
+    unknown, n_unknown = run(b"UNK", 0)  # header missing/unknown
+    assert unknown == honest
+    assert n_unknown == 2  # counting pass + sample pass
+
+    header_by_payload[b"EMPTY"] = 5  # header lies about an empty stream
+    with pytest.raises(ValueError):
+        dec(b"EMPTY")
 
 
 def test_decode_video_real_codec_path(monkeypatch):
