@@ -566,7 +566,7 @@ class _PathDeltaStore:
 
         self._fs = fsutil
         self.spark = spark
-        self.base = _delta_root(cfg, root)
+        self.base = _delta_root(cfg.fingerprint(), root)
 
     def write(self, df: DataFrame, stage: str, batch_id: int) -> None:
         df.write.mode("overwrite").parquet(
@@ -723,11 +723,28 @@ def _delta_store(spark: SparkSession, cfg: DedupConfig, root: str | None):
     return _PathDeltaStore(spark, cfg, root)
 
 
-def _delta_root(cfg: DedupConfig, root: str) -> str:
+def _delta_root(fingerprint: str, root: str) -> str:
     """THE path-layout string — _PathDeltaStore and the staleness scans
-    in streaming.incremental both derive it from here, so the layout
+    in streaming.incremental both derive it from here (the scans probe
+    OTHER fingerprints' chains, hence the str parameter), so the layout
     cannot drift between the writer and the guards."""
-    return root.rstrip("/") + "/" + cfg.fingerprint() + "/delta"
+    return root.rstrip("/") + "/" + fingerprint + "/delta"
+
+
+def _chain_seeded(store) -> bool:
+    """True when a delta chain is bootstrapped in this store: the
+    cc_labels stage exists (``write_state_delta``'s LAST write — the
+    bootstrap-completion stamp) AND the files stage has partitions.
+    Probing cc_labels PARTITIONS would be wrong for the catalog-table
+    store: an all-unique base dedupes to ZERO label rows, and an empty
+    insert registers no partition, so a perfectly bootstrapped table
+    chain would look unseeded; files has one row per base doc and is
+    never empty. Shared by every chain entry point (the streaming
+    seeded probe and next_delta_batch_id) so the liveness rule cannot
+    diverge between them."""
+    return bool(
+        store.stage_exists("cc_labels") and store.list_partitions("files")
+    )
 
 
 def _current_seed(store) -> tuple[int, int]:
@@ -861,15 +878,21 @@ def compact_state_delta(
     and the batch plan would be overwritten with self-duplicate
     garbage. The streaming hook therefore folds strictly EARLIER
     batches only (``max_batch_id = current batch id`` — batch k-1's
-    engine commit is durable once batch k runs); manual CLI compaction
-    should pass ``next_delta_batch_id(...)`` or quiesce the chain
-    first. Independent of the caller's bound, the fold itself only
-    covers batches whose ``cc_labels`` partition exists — the LAST
-    stage ``append_state_delta`` writes, i.e. the append-completion
-    stamp — and the folded state is loaded with ``folded_to + 1`` as
-    its own bound, so a crashed append's partial earlier-stage
-    partitions (files/bands without cc_labels) are never baked into
-    the seed: they stay > C, and the batch's replay overwrites them.
+    engine commit is durable once batch k runs); manual compaction of
+    an APPEND-CHAIN root must go through
+    ``streaming.incremental.compact_append_chain``, which bounds the
+    fold by the chain's contents commit stamp. Independent of the
+    caller's bound, the fold itself only covers batches whose
+    ``cc_labels`` partition exists — the LAST stage
+    ``append_state_delta`` writes — and the folded state is loaded
+    with ``folded_to + 1`` as its own bound, so a crashed append's
+    PARTIAL stage partitions (files/bands without cc_labels) are never
+    baked into the seed: they stay > C, and the batch's replay
+    overwrites them. That stage-level stamp does NOT cover an append
+    that crashed between cc_labels and its chain-level commit (the
+    contents write): on an append-chain root, ``max_batch_id=None`` is
+    only safe when the chain is quiesced AND fully committed — hence
+    the wrapper.
 
     Labels are written PRE-COLLAPSED (one row per fid), so the next
     load's latest-batch-wins window runs over seed + recent batches

@@ -183,9 +183,16 @@ def _make_av_audio_decoder():
             with av.open(io.BytesIO(payload)) as container:
                 for fr in container.decode(audio=0):
                     arr = np.asarray(fr.to_ndarray())
-                    try:
-                        n_ch = len(fr.layout.channels) or 1
-                    except Exception:
+                    # channel count across PyAV versions: layout
+                    # .nb_channels (>= 13) or len(.channels) (older);
+                    # a bare fallback to 1 would silently disable the
+                    # packed de-interleave below on modern PyAV
+                    layout = getattr(fr, "layout", None)
+                    n_ch = getattr(layout, "nb_channels", None)
+                    if n_ch is None:
+                        chs = getattr(layout, "channels", None)
+                        n_ch = len(chs) if chs is not None else None
+                    if not n_ch:
                         n_ch = arr.shape[0] if arr.ndim > 1 else 1
                     if arr.ndim > 1 and arr.shape[0] > 1:
                         # planar (channels, samples) → mono
@@ -467,8 +474,13 @@ def _make_frame_decoder(n_frames: int):
                         actual = j + 1
                         if j not in wanted:
                             continue
+                        # to_ndarray(format='gray'), not to_image():
+                        # same no-PIL contract as _make_av_video_decoder
+                        # — a cluster with PyAV but no Pillow must still
+                        # sample frames, and it skips an image
+                        # round-trip per frame
                         gray = np.asarray(
-                            f.to_image().convert("L"), dtype=np.uint8
+                            f.to_ndarray(format="gray"), dtype=np.uint8
                         )
                         out.append(
                             (wanted[j], gray.nbytes, gray.astype(np.float32))

@@ -243,6 +243,7 @@ def bootstrap_append_state(
     stream silently preferring stale state derived from the previous
     base."""
     from deduplidog_spark.incremental import (
+        _delta_root,
         _delta_store,
         load_state,
         write_state_delta,
@@ -278,7 +279,7 @@ def bootstrap_append_state(
     # verify inputs and batch-id accounting (r4 ADVICE #1)
     path_chains = [
         fp for fp in _fs_list(spark, root)
-        if _fs_list(spark, f"{root}/{fp}/delta/files")
+        if _fs_list(spark, _delta_root(fp, root) + "/files")
     ]
     if cfg.checkpoint_table_prefix:
         stale += [
@@ -301,20 +302,33 @@ def bootstrap_append_state(
     own_files = (
         store.list_partitions("files") if store.stage_exists("files") else []
     )
-    stale += [f"delta files batch_id={b}" for b in own_files if b != -1]
+    if state_layout == "delta":
+        # a delta re-bootstrap over the chain's OWN seed-only state
+        # (batch_id=-1, no markers) is the legit crash-recovery flow
+        stale += [f"delta files batch_id={b}" for b in own_files if b != -1]
+        # contents at this root with NO bootstrap partition in OUR
+        # store means some other chain (e.g. a different
+        # checkpoint_table_prefix, which leaves no path/fingerprint
+        # trace, or a dormant snapshot chain) owns this root's
+        # contents/
+        if -1 not in own_files and _fs_list(spark, f"{root}/contents"):
+            stale += ["contents (another chain's bootstrap owns this root)"]
+    else:
+        # snapshot layout writes NO delta partitions, so ANY delta
+        # state under this config's store — even a seed-only chain —
+        # is another chain whose contents/batch_id=-1 this bootstrap
+        # would overwrite
+        stale += [f"delta files batch_id={b}" for b in own_files]
+        # a legit snapshot re-bootstrap is recognized by its own
+        # s000000000 (written BEFORE contents, so contents present ⇒
+        # the snapshot completed); contents without it belong to a
+        # chain this config cannot see (e.g. a catalog-table chain
+        # under some other prefix)
+        if "s000000000" not in _fs_list(spark, root) and _fs_list(
+            spark, f"{root}/contents"
+        ):
+            stale += ["contents (another chain's bootstrap owns this root)"]
     stale += store.list_markers()
-    # delta only: contents at this root with NO bootstrap partition in
-    # OUR store means some other chain (e.g. a different
-    # checkpoint_table_prefix, which leaves no path/fingerprint trace,
-    # or a dormant snapshot chain) owns this root's contents/. A
-    # snapshot re-bootstrap is exempt — it writes no delta partitions,
-    # so its own prior contents/batch_id=-1 is expected here
-    if (
-        state_layout == "delta"
-        and -1 not in own_files
-        and _fs_list(spark, f"{root}/contents")
-    ):
-        stale += ["contents (another chain's bootstrap owns this root)"]
     stale += [
         n
         for n in _fs_list(spark, f"{root}/contents")
@@ -441,20 +455,11 @@ def next_delta_batch_id(spark, cfg: DedupConfig, state_root: str) -> int:
     chaining past half-written state (which would leave docs in
     state.files with no band rows or contents — silently unfindable
     duplicates forever)."""
-    from deduplidog_spark.incremental import _delta_store
+    from deduplidog_spark.incremental import _chain_seeded, _delta_store
 
     root = state_root.rstrip("/")
     store = _delta_store(spark, cfg, root)
-    # seeded = the cc_labels stage exists (write_state_delta's LAST
-    # write — the bootstrap-completion stamp) AND the files stage has
-    # partitions. Probing cc_labels PARTITIONS would be wrong for the
-    # catalog-table store: an all-unique base dedupes to ZERO label
-    # rows, and an empty insert registers no partition, so a perfectly
-    # bootstrapped table chain would look unseeded; files has one row
-    # per base doc and is never empty
-    if not (
-        store.stage_exists("cc_labels") and store.list_partitions("files")
-    ):
+    if not _chain_seeded(store):
         raise RuntimeError(
             f"no delta state under {root} — bootstrap first "
             "(bootstrap_append_state / run_dedupe without --append)"
@@ -470,6 +475,29 @@ def next_delta_batch_id(spark, cfg: DedupConfig, state_root: str) -> int:
             "the bootstrap did not complete; re-run it"
         )
     return max(ids) + 1
+
+
+def compact_append_chain(spark, cfg: DedupConfig, state_root: str) -> int | None:
+    """Manual compaction of an append-chain root, bounded by the
+    chain's COMMIT stamp — the contents partitions, the LAST artifact
+    ``process_append_batch`` writes. ``compact_state_delta`` alone
+    gates its fold set on cc_labels, which ``append_state_delta``
+    writes BEFORE the contents commit: an append that crashed in that
+    gap leaves a fully-staged batch k with no contents, its replay
+    will re-derive id k (``next_delta_batch_id``), and folding it
+    would make that replay see its own rows in the loaded state. So
+    this wrapper — folding strictly below the next committed id — is
+    THE safe manual entry point for an append-chain root; call
+    ``compact_state_delta`` directly only on state written through the
+    raw ``append_state_delta`` API, where the caller owns the commit
+    accounting. Returns the new seed generation, or None when there
+    was nothing to fold."""
+    from deduplidog_spark.incremental import compact_state_delta
+
+    return compact_state_delta(
+        spark, cfg, state_root,
+        max_batch_id=next_delta_batch_id(spark, cfg, state_root),
+    )
 
 
 def process_append_batch(
@@ -495,6 +523,7 @@ def process_append_batch(
     loses the batch (the marker protocol in compact_state_delta makes
     the compaction itself crash-safe)."""
     from deduplidog_spark.incremental import (
+        _chain_seeded,
         _current_seed,
         _delta_store,
         append_state_delta,
@@ -513,16 +542,9 @@ def process_append_batch(
     if state_layout == "delta":
         # probe through the store seam, not the path layout: with
         # cfg.checkpoint_table_prefix the chain lives in catalog tables
-        # and a path probe would wrongly report it un-bootstrapped.
-        # cc_labels existence is the bootstrap-completion stamp; the
-        # non-empty probe runs on files (see next_delta_batch_id — an
-        # all-unique base has ZERO label rows, and an empty insert
-        # registers no table partition)
+        # and a path probe would wrongly report it un-bootstrapped
         store = _delta_store(spark, cfg, root)
-        seeded = store.stage_exists("cc_labels") and store.list_partitions(
-            "files"
-        )
-        if not seeded:
+        if not _chain_seeded(store):
             raise RuntimeError(
                 f"no delta state under {root} — run "
                 "bootstrap_append_state(..., state_layout='delta') first"

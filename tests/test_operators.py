@@ -661,9 +661,15 @@ def _install_fake_av(monkeypatch, *, audio_signals=None, video_frames=None,
     class FakeFrame:
         def __init__(self, arr, n_ch=None):
             self._arr = np.asarray(arr)
-            if n_ch is None:  # planar: one plane per channel
-                n_ch = self._arr.shape[0] if self._arr.ndim > 1 else 1
-            self.layout = types.SimpleNamespace(channels=("ch",) * n_ch)
+            if n_ch is None:
+                # planar (one plane per channel) — legacy PyAV layout
+                # shape: a .channels tuple, no .nb_channels
+                n = self._arr.shape[0] if self._arr.ndim > 1 else 1
+                self.layout = types.SimpleNamespace(channels=("ch",) * n)
+            else:
+                # packed plant — modern PyAV (>= 13) layout shape:
+                # .nb_channels only (.channels tuple removed)
+                self.layout = types.SimpleNamespace(nb_channels=n_ch)
 
         def to_ndarray(self, format=None):
             return self._arr
@@ -810,19 +816,12 @@ def test_frame_decoder_header_count_is_hint_not_truth(monkeypatch):
     frames = [np.full((8, 8), j, dtype=np.uint8) for j in range(8)]
     decode_calls = []
 
-    class _Img:
-        def __init__(self, arr):
-            self._a = arr
-
-        def convert(self, mode):
-            return self._a
-
     class _Frame:
         def __init__(self, arr):
             self._a = arr
 
-        def to_image(self):
-            return _Img(self._a)
+        def to_ndarray(self, format=None):
+            return self._a
 
     header_by_payload = {}
 

@@ -986,3 +986,146 @@ def test_cli_append_state_out_falls_back_to_snapshot(spark, monkeypatch, capsys)
     )
     with _pytest.raises(SystemExit, match="snapshot-layout knob"):
         cli.main()
+
+
+def test_compact_append_chain_bounded_by_contents_commit(spark):
+    """r5 review (second pass): cc_labels is only the STAGE completion
+    stamp — an append that crashes between append_state_delta and the
+    contents write leaves a fully-staged batch k with no chain-level
+    commit, and next_delta_batch_id will re-derive id k for its replay.
+    compact_append_chain must therefore bound the fold by the contents
+    ledger, leaving batch k out of the seed so the replay stays clean."""
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.config import DedupConfig
+    from deduplidog_spark.incremental import (
+        append_state_delta,
+        incremental_dedupe,
+        load_state,
+        load_state_delta,
+        write_state_delta,
+    )
+    from deduplidog_spark.pipeline import dedupe
+    from deduplidog_spark.streaming.incremental import (
+        compact_append_chain,
+        next_delta_batch_id,
+        process_append_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="compact_chain_")
+    root = os.path.join(tmp, "state")
+    cfg = DedupConfig(mode="minhash", checkpoint_dir=os.path.join(tmp, "boot"))
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(r, p, "c0", "py", c, None) for r, p, c in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, mtime timestamp",
+        )
+
+    base = df([("b", f"f{i}.py", f"unique words number {i} " * 10)
+               for i in range(4)])
+    dedupe(base, cfg).plan.count()
+    write_state_delta(spark, load_state(spark, cfg), cfg, root)
+    base.select(
+        F.concat_ws("/", "repo", "path").alias("fid"), "content"
+    ).write.parquet(os.path.join(root, "contents", "batch_id=-1"))
+
+    b0 = df([("d0", "g.py", "unique words number 3 " * 10)])
+    process_append_batch(b0, cfg, root, 0)  # fully committed
+
+    # batch 1 crashes AFTER all stage writes but BEFORE contents
+    b1 = df([("d1", "h.py", "brand new words here " * 10)])
+    st = load_state_delta(spark, cfg, root, max_batch_id=1)
+    contents = spark.read.parquet(os.path.join(root, "contents")).filter(
+        F.col("batch_id") < 1
+    ).select("fid", "content")
+    append_state_delta(
+        spark, incremental_dedupe(b1, cfg, st, base_contents=contents),
+        cfg, root, 1,
+    )
+
+    assert next_delta_batch_id(spark, cfg, root) == 1  # replay id is 1
+    assert compact_append_chain(spark, cfg, root) == 1  # folds batch 0 only
+    delta = os.path.join(root, cfg.fingerprint(), "delta")
+    assert sorted(
+        n for n in os.listdir(delta) if n.startswith("_seed_")
+    ) == ["_seed_g1_c0"]
+    seed_files = spark.read.parquet(
+        os.path.join(delta, "files", "batch_id=-2")
+    )
+    assert not [r for r in seed_files.collect() if r.fid.startswith("d1/")], (
+        "the uncommitted batch must stay out of the seed"
+    )
+
+    # the replay commits cleanly: unique doc NOT marked its own dup
+    process_append_batch(b1, cfg, root, next_delta_batch_id(spark, cfg, root))
+    final = load_state_delta(spark, cfg, root)
+    assert (
+        final.files.groupBy("fid").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    full = dedupe(
+        base.unionByName(b0).unionByName(b1),
+        DedupConfig(
+            mode="minhash",
+            checkpoint_dir=tempfile.mkdtemp(prefix="full_cc_"),
+        ),
+    )
+    lab = {r.fid: r.component for r in final.labels.collect()}
+    ful = {
+        r.fid: r.component
+        for r in full.clusters.select("fid", "component").collect()
+    }
+    assert lab == ful
+
+
+def test_snapshot_bootstrap_refuses_dormant_delta_roots(spark):
+    """r5 review (second pass): a SNAPSHOT-layout bootstrap writes no
+    delta partitions, so the contents-ownership guard must still fire
+    for it — over a dormant own-config delta chain (seed-only) and
+    over a catalog-table chain (which leaves no path/fingerprint
+    trace; recognized by contents without s000000000) — while a legit
+    snapshot re-bootstrap over its own root keeps working."""
+    import uuid
+
+    import pytest as _pytest
+
+    from deduplidog_spark.config import DedupConfig
+    from deduplidog_spark.streaming.incremental import bootstrap_append_state
+
+    tmp = tempfile.mkdtemp(prefix="snap_guard_")
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(r, p, "c0", "py", c, None) for r, p, c in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string, mtime timestamp",
+        )
+
+    base = df([("b", f"f{i}.py", f"unique words number {i} " * 10)
+               for i in range(4)])
+    cfg = DedupConfig(mode="minhash")
+
+    # dormant own-config DELTA chain (seed-only) → snapshot must refuse
+    root1 = os.path.join(tmp, "r1")
+    bootstrap_append_state(base, cfg, root1)
+    with _pytest.raises(ValueError, match="already holds state"):
+        bootstrap_append_state(base, cfg, root1, state_layout="snapshot")
+
+    # catalog-table chain at the root (no path trace) → snapshot with a
+    # PLAIN config must refuse via contents-without-s000000000
+    root2 = os.path.join(tmp, "r2")
+    cfg_tbl = DedupConfig(
+        mode="minhash",
+        checkpoint_table_prefix=f"sg{uuid.uuid4().hex[:8]}",
+        checkpoint_format="parquet",
+    )
+    bootstrap_append_state(base, cfg_tbl, root2)
+    with _pytest.raises(ValueError, match="already holds state"):
+        bootstrap_append_state(base, cfg, root2, state_layout="snapshot")
+
+    # legit snapshot re-bootstrap over its own root still works
+    root3 = os.path.join(tmp, "r3")
+    bootstrap_append_state(base, cfg, root3, state_layout="snapshot")
+    bootstrap_append_state(base, cfg, root3, state_layout="snapshot")
