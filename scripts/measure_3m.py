@@ -13,6 +13,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# 32 concurrent scan tasks each decode a ~128 MB parquet row group; the
+# 8 GB single-JVM default (250 MB/core) OOMs in ParquetFileReader at 3M
+# rows. 2 GB/core is the realistic executor provisioning — see BENCH.md
+# "r5 recall-at-scale" for the measurement.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+
 from bench import BENCH_CFG, _mk_spark  # noqa: E402
 
 
