@@ -9,7 +9,14 @@ default cadence) — and time ``load_state_delta`` + a forced label
 collapse at checkpoints along the chain. Prints ONE JSON line.
 
 Usage: python scripts/measure_compaction.py \
-    [base_rows=100000] [n_batches=32] [batch_rows=1000] [compact_every=16]
+    [base_rows=100000] [n_batches=32] [batch_rows=1000] [compact_every=16] \
+    [store=path|table]
+
+``store=table`` runs the identical experiment through the
+catalog-table delta store (``cfg.checkpoint_table_prefix`` →
+``_TableDeltaStore``, session-catalog parquet provider standing in
+for Iceberg) — the same code path a lakehouse deployment uses, with
+per-partition dynamic ``insertInto`` overwrites.
 """
 from __future__ import annotations
 
@@ -39,12 +46,14 @@ def main() -> None:
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     batch_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
     compact_every = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    store_kind = sys.argv[5] if len(sys.argv) > 5 else "path"
 
     from pyspark.sql import functions as F
 
     from deduplidog_spark.benchgen import synth_corpus
     from deduplidog_spark.config import DedupConfig
     from deduplidog_spark.incremental import (
+        _delta_store,
         append_state_delta,
         compact_state_delta,
         incremental_dedupe,
@@ -53,11 +62,20 @@ def main() -> None:
         write_state_delta,
     )
     from deduplidog_spark.pipeline import dedupe
-
-    spark = _mk_spark(16)
-    spark.sparkContext.setLogLevel("ERROR")
+    from deduplidog_spark.session import get_spark
 
     tmp = tempfile.mkdtemp(prefix="compact_bench_")
+    if store_kind == "table":
+        spark = get_spark(
+            "compact-bench", master="local[16]", shuffle_partitions=16,
+            extra_conf={
+                "spark.ui.showConsoleProgress": "false",
+                "spark.sql.warehouse.dir": os.path.join(tmp, "warehouse"),
+            },
+        )
+    else:
+        spark = _mk_spark(16)
+    spark.sparkContext.setLogLevel("ERROR")
     total = base_rows + n_batches * batch_rows
     corpus_dir = os.path.join(tmp, "corpus")
     synth_corpus(spark, total).withColumn(
@@ -66,9 +84,16 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_dir)
 
     def run_chain(label: str, every: int | None) -> dict:
-        ckpt = os.path.join(tmp, f"boot_{label}")
-        root = os.path.join(tmp, f"state_{label}")
-        cfg = DedupConfig(**BENCH_CFG, checkpoint_dir=ckpt)
+        if store_kind == "table":
+            root = None
+            cfg = DedupConfig(
+                **BENCH_CFG, checkpoint_table_prefix=f"compactbench_{label}"
+            )
+        else:
+            root = os.path.join(tmp, f"state_{label}")
+            cfg = DedupConfig(
+                **BENCH_CFG, checkpoint_dir=os.path.join(tmp, f"boot_{label}")
+            )
         base = corpus.filter(F.col("idnum") < base_rows).drop("idnum")
         dedupe(base, cfg).plan.count()
         write_state_delta(spark, load_state(spark, cfg), cfg, root)
@@ -96,10 +121,20 @@ def main() -> None:
                 st2.files.count()  # forces the multi-partition union scan
                 load_times[str(k + 1)] = round(time.time() - t0, 2)
 
-        fp_root = os.path.join(root, cfg.fingerprint(), "delta")
+        if store_kind == "table":
+            store = _delta_store(spark, cfg, None)
+            n_parts = sum(
+                len(store.list_partitions(s))
+                for s in ("files", "minhash_bands", "band_reps", "cc_labels")
+                if store.stage_exists(s)
+            )
+        else:
+            n_parts = _count_partition_dirs(
+                os.path.join(root, cfg.fingerprint(), "delta")
+            )
         return {
             "load_sec_at_chain_len": load_times,
-            "partition_dirs": _count_partition_dirs(fp_root),
+            "partition_dirs": n_parts,
         }
 
     out = {
@@ -107,6 +142,7 @@ def main() -> None:
         "n_batches": n_batches,
         "batch_rows": batch_rows,
         "compact_every": compact_every,
+        "store": store_kind,
         "no_compaction": run_chain("nc", None),
         "compacted": run_chain("c", compact_every),
     }
