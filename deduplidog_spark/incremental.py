@@ -668,14 +668,45 @@ class _TableDeltaStore:
         return self.spark.catalog.tableExists(self._name(stage))
 
     def list_partitions(self, stage: str) -> list[int]:
-        rows = self.spark.sql(f"SHOW PARTITIONS {self._name(stage)}").collect()
-        return sorted(int(r[0].split("=", 1)[1]) for r in rows)
+        # capability-ordered: SHOW PARTITIONS is a v1-table command —
+        # v2 providers (Iceberg included) don't implement
+        # SupportsPartitionManagement and raise AnalysisException, so
+        # falling back here is the DEPLOY path, not an edge case. The
+        # Iceberg `.partitions` metadata table is the O(partitions)
+        # listing (no data scan — the files stage has one row per doc,
+        # so the last-resort DISTINCT over data is the only option
+        # that must never be first)
+        name = self._name(stage)
+        try:
+            rows = self.spark.sql(f"SHOW PARTITIONS {name}").collect()
+            return sorted(int(r[0].split("=", 1)[1]) for r in rows)
+        except Exception:
+            pass
+        try:
+            rows = self.spark.sql(
+                f"SELECT partition.batch_id FROM {name}.partitions"
+            ).collect()
+            return sorted(int(r[0]) for r in rows)
+        except Exception:
+            pass
+        rows = self.spark.table(name).select("batch_id").distinct().collect()
+        return sorted(int(r[0]) for r in rows)
 
     def drop_partition(self, stage: str, batch_id: int) -> None:
-        self.spark.sql(
-            f"ALTER TABLE {self._name(stage)} DROP IF EXISTS "
-            f"PARTITION (batch_id={int(batch_id)})"
-        )
+        # same v1/v2 split: ALTER TABLE ... DROP PARTITION only exists
+        # for v1 tables; on Iceberg the idiomatic partition drop is a
+        # partition-aligned DELETE, which its engine executes as a
+        # metadata-only commit (no data rewrite)
+        name = self._name(stage)
+        try:
+            self.spark.sql(
+                f"ALTER TABLE {name} DROP IF EXISTS "
+                f"PARTITION (batch_id={int(batch_id)})"
+            )
+        except Exception:
+            self.spark.sql(
+                f"DELETE FROM {name} WHERE batch_id = {int(batch_id)}"
+            )
 
     def _markers(self) -> str:
         return f"{self.prefix}_delta_markers_{self.fp}"

@@ -877,3 +877,56 @@ def test_compact_unbounded_skips_partial_stage_writes(spark):
         for r in full.clusters.select("fid", "component").collect()
     }
     assert lab == ful
+
+
+def test_table_store_partition_ops_survive_v2_provider(spark, monkeypatch):
+    """SHOW PARTITIONS and ALTER TABLE ... DROP PARTITION are v1-table
+    commands — a v2 provider (Iceberg included: no
+    SupportsPartitionManagement) raises AnalysisException on both, and
+    that IS the deploy path for checkpoint_format='iceberg'. Simulate
+    the v2 provider by failing exactly those two statements: listing
+    must fall back (metadata table, then DISTINCT over data) and the
+    partition drop must reissue as the partition-aligned DELETE that
+    Iceberg executes as a metadata-only commit."""
+    import uuid
+
+    from deduplidog_spark.incremental import _TableDeltaStore
+
+    cfg = DedupConfig(
+        mode="minhash",
+        checkpoint_table_prefix=f"v2f{uuid.uuid4().hex[:8]}",
+        checkpoint_format="parquet",
+    )
+    store = _TableDeltaStore(spark, cfg)
+    lab = spark.createDataFrame([("a", "a")], "fid string, component string")
+    store.write(lab, "cc_labels", -1)
+    store.write(lab, "cc_labels", 0)
+
+    real_sql = spark.sql
+    issued = []
+
+    def v2_sql(q, *a, **kw):
+        qs = " ".join(q.split())
+        issued.append(qs)
+        if qs.startswith("SHOW PARTITIONS") or qs.startswith("ALTER TABLE"):
+            raise Exception("v2 table does not support partition management")
+        if qs.startswith("DELETE FROM"):
+            # the parquet v1 provider can't DELETE; emulate Iceberg's
+            # partition-aligned metadata delete through the real v1
+            # drop so the end state matches what Iceberg would leave
+            name = qs.split()[2]
+            b = int(qs.rsplit("=", 1)[1])
+            return real_sql(
+                f"ALTER TABLE {name} DROP IF EXISTS PARTITION (batch_id={b})"
+            )
+        return real_sql(q, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", v2_sql)
+    # listing: SHOW fails, <name>.partitions doesn't exist on parquet,
+    # DISTINCT over data must still produce the exact partition set
+    assert store.list_partitions("cc_labels") == [-1, 0]
+    # drop: ALTER fails -> the DELETE fallback must be issued
+    store.drop_partition("cc_labels", 0)
+    assert any(s.startswith("DELETE FROM") for s in issued)
+    monkeypatch.undo()
+    assert store.list_partitions("cc_labels") == [-1]
