@@ -12,7 +12,7 @@ against prior plans instead of the "✓" filename prefix).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deduplidog_spark.config import DedupConfig
@@ -44,13 +44,17 @@ def action_plan(clustered: DataFrame, cfg: DedupConfig) -> DataFrame:
       oldest of a multi-dup chain wins, matching the launch-time
       resolution note at deduplidog.py:681-690).
     """
-    cw = Window.partitionBy("component")
-    m = clustered.withColumn(
-        "keeper_size", F.max(F.when(F.col("is_keeper"), F.col("size"))).over(cw)
-    ).withColumn(
-        "keeper_mtime",
-        F.max(F.when(F.col("is_keeper"), F.col("mtime"))).over(cw),
+    # keeper attributes via filter + join, not a component window: an
+    # unordered window still funnels the WHOLE component into one task
+    # (a 100M-copy boilerplate cluster = one straggler) to read the one
+    # keeper row; elect_keepers guarantees exactly one keeper per
+    # component, so this join is 1:n by construction
+    keepers = clustered.filter(F.col("is_keeper")).select(
+        "component",
+        F.col("size").alias("keeper_size"),
+        F.col("mtime").alias("keeper_mtime"),
     )
+    m = clustered.join(keepers, "component", "left")
     size_warn = (~F.col("is_keeper")) & (F.col("size") > F.col("keeper_size"))
     date_warn = (~F.col("is_keeper")) & (
         (F.col("keeper_mtime").cast("double") - F.col("mtime").cast("double")) >= 1.0

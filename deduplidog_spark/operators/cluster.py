@@ -36,7 +36,29 @@ def connected_components(
 
     Shuffle profile per round: one groupBy(fid) over the undirected
     edge list joined with current labels — keys are file ids (unique,
-    no skew). Early-exits when an iteration changes no label.
+    no skew) — plus one label self-join feeding the SAME aggregation
+    (see below). Early-exits when an iteration changes no label.
+
+    Convergence is O(log diameter), not O(diameter): each round's
+    aggregation takes the min over the node's own label, its
+    neighbors' labels, AND its label's label (pointer-doubling
+    shortcut rows from a labels⋈labels self-join on component = fid —
+    label values are always node ids inside the component, so the
+    shortcut stays within it and only decreases toward the min).
+    Plain neighbor propagation moves the min ONE hop per round — a
+    chain of gradually-evolving near-dup versions longer than
+    ``max_iterations`` would previously exhaust the cap; with the
+    shortcut the default cap of 20 covers chains ~2^17 long. The
+    shortcut join's probe side is skewed by construction (one hot key
+    per large component) — AQE skew-join splitting (on in
+    session.get_spark) spreads it, and the hot key collapses to the
+    fixed point within a few rounds anyway.
+
+    Exhausting ``max_iterations`` without converging raises
+    RuntimeError (the last round's probe is free): returning the
+    unconverged table would hand the caller silently WRONG cluster
+    assignments — one true component split into many — which keeper
+    election and the action plan would then act on.
 
     Driver-barrier budget (the latency floor at scale): each round's
     label table carries its OWN previous label as an aggregated column,
@@ -98,8 +120,21 @@ def connected_components(
             F.col("component").alias("nbr_component"),
             F.lit(True).alias("is_self"),
         )
+        # pointer-doubling shortcut: for node x labeled c, c's own
+        # label rides into x's min — one labels⋈labels join into the
+        # same aggregation, collapsing chains exponentially (round 1
+        # is the identity map, component == fid, and contributes
+        # nothing new)
+        shortcut = labels.join(
+            labels.select(
+                F.col("fid").alias("component"),
+                F.col("component").alias("nbr_component"),
+            ),
+            "component",
+        ).select("fid", "nbr_component", F.lit(False).alias("is_self"))
         new_labels = (
             nbr.union(own)
+            .union(shortcut)
             .groupBy("fid")
             .agg(
                 F.min("nbr_component").alias("component"),
@@ -118,6 +153,14 @@ def connected_components(
             if changed == 0:
                 labels = new_labels.select("fid", "component")
                 break
+            if last_round:
+                raise RuntimeError(
+                    f"connected_components did not converge within "
+                    f"max_iterations={max_iterations} — the label table "
+                    "is still changing, so returning it would silently "
+                    "split true components; raise max_iterations (rounds "
+                    "needed ≈ log2 of the largest cluster diameter)"
+                )
         labels = new_labels.select("fid", "component")
     return labels
 
@@ -141,26 +184,63 @@ def elect_keepers(files: DataFrame, labels: DataFrame, cfg=None, order=None) -> 
     ordering Columns (e.g. quality desc for training-data curation —
     see operators/pretrain.quality_keepers); it must end in a
     deterministic tie-break.
+
+    Scale shape: the built-in orderings elect through a
+    ``min_by``-over-struct AGGREGATE (partial/map-side combinable)
+    joined back to the members — never a per-component window sort. A
+    window ranks the WHOLE component in one task, but only rank 1 is
+    ever read: a 100M-copy boilerplate component (giant components are
+    the NORM under sha-collapse star edges) would sort 100M rows in
+    one straggler task for one champion row. The struct keys replicate
+    the window ordering exactly, including Spark's null placement
+    (asc → NULLS FIRST, desc → NULLS LAST) via explicit null-flag
+    fields, so election results are bit-identical to the former window
+    implementation. A caller-supplied ``order`` still takes the window
+    path — arbitrary sort Columns can't be introspected into struct
+    keys; those callers (curation) own their skew profile.
     """
     fid = F.concat_ws("/", "repo", "path")
     members = files.withColumn("fid", fid).join(labels, "fid")
     if order is not None:
-        order = list(order)
-    elif cfg is not None and cfg.treat_bigger_as_original:
-        order = [F.col("size").desc(), F.col("mtime").asc(), F.col("fid").asc()]
+        w = Window.partitionBy("component").orderBy(*list(order))
+        cluster_w = Window.partitionBy("component")
+        return (
+            members.withColumn("_rank", F.row_number().over(w))
+            .withColumn("is_keeper", F.col("_rank") == 1)
+            .withColumn("keeper", F.first("fid").over(w))
+            .withColumn("cluster_min_mtime", F.min("mtime").over(cluster_w))
+            .withColumn(
+                "duplicate_of",
+                F.when(F.col("is_keeper"), F.lit(None)).otherwise(F.col("keeper")),
+            )
+            .drop("_rank", "keeper")
+        )
+    if cfg is not None and cfg.treat_bigger_as_original:
+        # size desc (window default: NULLS LAST) → null-flag asc puts
+        # non-null sizes first, then negated size; mtime asc (window
+        # default: NULLS FIRST) → not-null flag asc puts nulls first;
+        # fid (never null) is the total-order tie-break
+        key = F.struct(
+            F.col("size").isNull().alias("k1n"),
+            F.coalesce(F.col("size") * -1, F.lit(0)).alias("k1"),
+            F.col("mtime").isNotNull().alias("k2n"),
+            F.coalesce(
+                F.col("mtime"), F.lit("1970-01-01").cast("timestamp")
+            ).alias("k2"),
+            F.col("fid").alias("k3"),
+        )
     else:
-        order = [F.col("fid").asc()]
-    w = Window.partitionBy("component").orderBy(*order)
-    cluster_w = Window.partitionBy("component")
-    out = (
-        members.withColumn("_rank", F.row_number().over(w))
-        .withColumn("is_keeper", F.col("_rank") == 1)
-        .withColumn("keeper", F.first("fid").over(w))
-        .withColumn("cluster_min_mtime", F.min("mtime").over(cluster_w))
+        key = F.struct(F.col("fid").alias("k3"))
+    champs = members.groupBy("component").agg(
+        F.min_by(F.col("fid"), key).alias("keeper"),
+        F.min("mtime").alias("cluster_min_mtime"),
+    )
+    return (
+        members.join(champs, "component")
+        .withColumn("is_keeper", F.col("fid") == F.col("keeper"))
         .withColumn(
             "duplicate_of",
             F.when(F.col("is_keeper"), F.lit(None)).otherwise(F.col("keeper")),
         )
-        .drop("_rank", "keeper")
+        .drop("keeper")
     )
-    return out

@@ -877,8 +877,6 @@ def dedup_media(
     requires non-negative media ids). Only media with at least one
     verified pair appear (singletons are trivially their own keeper).
     With ``with_report``, also returns the dropped-bucket report."""
-    from pyspark.sql import Window
-
     from deduplidog_spark.operators.cluster import connected_components
 
     _warn_invisible_cap(max_bucket_size, with_report, "dedup_media")
@@ -900,10 +898,21 @@ def dedup_media(
         F.substring("fid", 2, 12).cast("long").alias("media_id"),
         F.substring("component", 2, 12).cast("long").alias("component"),
     ).join(features.select("media_id", "n_bytes"), "media_id")
-    w = Window.partitionBy("component").orderBy(
-        F.col("n_bytes").desc(), F.col("media_id").asc()
+    # keeper via a map-side-combinable min_by aggregate + join back —
+    # never a per-component window sort (one straggler task per giant
+    # component); key fields are non-null (n_bytes is the payload
+    # length, media_id the join key), so struct-min order equals the
+    # (n_bytes DESC, media_id ASC) window order exactly
+    champs = members.groupBy("component").agg(
+        F.min_by(
+            F.col("media_id"),
+            F.struct(
+                (F.col("n_bytes") * -1).alias("k1"),
+                F.col("media_id").alias("k2"),
+            ),
+        ).alias("keeper_id")
     )
-    out = members.withColumn("keeper_id", F.first("media_id").over(w)).select(
+    out = members.join(champs, "component").select(
         "media_id",
         "component",
         "keeper_id",

@@ -351,7 +351,14 @@ def quality_keepers(
         (key if key is not None else content_fingerprint(t)).alias("cluster_fp"),
         quality_score(t).alias("quality_bp"),
     )
-    order = [F.col("quality_bp").desc(), F.col(id_col).asc()]
+    # election key replicating [_prefer desc, quality_bp desc, id asc]
+    # as a min_by struct — every field non-null by construction
+    # (quality over coalesced text, boolean flag, id), so struct min
+    # order equals the former window order bit-for-bit
+    key_fields = [
+        (F.col("quality_bp") * -1).alias("k1"),
+        F.col(id_col).alias("k2"),
+    ]
     if blocked is not None:
         # eligibility-first election (curate passes the docs that FAIL
         # its other gates): a keeper that is itself dropped would
@@ -362,14 +369,24 @@ def quality_keepers(
             id_col,
             "left",
         ).withColumn("_prefer", F.col("_blocked").isNull())
-        order = [F.col("_prefer").desc()] + order
-    w = Window.partitionBy("cluster_fp").orderBy(*order)
-    cw = Window.partitionBy("cluster_fp")
-    return (
-        base.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count("*").over(cw))
+        # _prefer desc → eligible (true) first → min over NOT _prefer
+        key_fields = [(~F.col("_prefer")).alias("k0")] + key_fields
+    # one map-side-combinable aggregate per cluster instead of a
+    # per-cluster window sort: a window ranks the WHOLE cluster in one
+    # task, but only rank 1 and the member count are ever read — a
+    # boilerplate cluster spanning 1% of a web crawl would otherwise
+    # sort corpus/100 rows in one straggler task
+    champs = (
+        base.groupBy("cluster_fp")
+        .agg(
+            F.min_by(F.col(id_col), F.struct(*key_fields)).alias("keeper_id"),
+            F.count("*").alias("_n"),
+        )
         .filter(F.col("_n") > 1)
-        .withColumn("is_keeper", F.col("_rn") == 1)
-        .withColumn("keeper_id", F.first(F.col(id_col)).over(w))
-        .drop("_rn", "_n", "_prefer", "_blocked")
+        .drop("_n")
+    )
+    return (
+        base.join(champs, "cluster_fp")
+        .withColumn("is_keeper", F.col(id_col) == F.col("keeper_id"))
+        .drop("_prefer", "_blocked")
     )

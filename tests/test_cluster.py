@@ -32,6 +32,28 @@ def test_cc_long_path_needs_iterations(spark):
     assert len(labels) == n + 1
 
 
+def test_cc_chain_longer_than_cap_converges_via_shortcut(spark):
+    """Pointer-doubling regression pin: a 60-node chain (gradually
+    evolving near-dup versions) converges WITHIN the default cap of
+    20 — plain neighbor propagation moves the min one hop per round
+    and would need 59. Before the shortcut this returned silently
+    WRONG labels (one true component split into dozens)."""
+    e = _edges(spark, [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(59)])
+    labels = {r.fid: r.component for r in connected_components(e).collect()}
+    assert set(labels.values()) == {"n000"}
+    assert len(labels) == 60
+
+
+def test_cc_raises_instead_of_returning_unconverged_labels(spark):
+    """Exhausting max_iterations must raise, never hand keeper
+    election a label table that splits true components."""
+    import pytest
+
+    e = _edges(spark, [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(59)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iterations=2).collect()
+
+
 def _keeper_fixture(spark):
     rows = [
         dict(repo="r", path="small.txt", commit="c0", lang="txt",
