@@ -224,15 +224,19 @@ def incremental_candidate_pairs(
         "base_kept_divergence",
         (F.col("n_base") > 0) & (F.col("n_base") <= cfg.max_bucket_size),
     )
-    pruned = members.join(
-        F.broadcast(dropped_report.select("band_id", "band_hash")),
-        ["band_id", "band_hash"],
-        "left_anti",
-    )
+    # only 2..cap buckets reach the group stage (mirrors
+    # candidates.lsh_candidate_pairs r6 shape): singleton buckets can't
+    # pair and oversized ones are dropped+logged, so the group-side
+    # exchange carries only pair-producing rows — AQE broadcasts the
+    # multi-member key set when it fits, making the probe map-side
+    multi = counts.filter(
+        (F.col("bucket_size") > 1)
+        & (F.col("bucket_size") <= cfg.max_bucket_size)
+    ).select("band_id", "band_hash")
     buckets = (
-        pruned.groupBy("band_id", "band_hash")
+        members.join(multi, ["band_id", "band_hash"], "left_semi")
+        .groupBy("band_id", "band_hash")
         .agg(F.collect_list(F.struct("fid", "is_new")).alias("ms"))
-        .filter(F.size("ms") > 1)
     )
     ms = F.col("ms")
     combos = F.flatten(

@@ -31,19 +31,19 @@ def lsh_candidate_pairs(
     """band rows (fid, band_id, band_hash) → distinct pairs
     (id_a < id_b). Returns (pairs, dropped_buckets_report).
 
-    Grouped pair generation, not a self-join: the band table crosses
-    the network ONCE (the collect_list groupBy); in-bucket pairs are
-    then expanded by a JVM transform/slice expression inside the
-    aggregated partition. The earlier window-count + self-join design
-    shuffled the band table three times (window counts don't partial-
-    aggregate map-side, and both self-join sides re-exchange after the
-    checkpoint truncates partitioning info). The count pre-pass that
-    replaces the window DOES combine map-side — its shuffle carries
-    ~one row per distinct (band_id, band_hash) per partition — and
-    hot buckets above ``max_bucket_size`` (rare by construction:
-    byte-identical content is sha-collapsed before banding) are
-    removed by a broadcast anti-join BEFORE any bucket list
-    materializes, so per-group state is bounded at cap × fid bytes.
+    Grouped pair generation, not a self-join: in-bucket pairs are
+    expanded by a JVM transform/slice expression inside the aggregated
+    partition. The count pre-pass combines map-side — its shuffle
+    carries ~one compact row per distinct (band_id, band_hash) per
+    partition — and classifies buckets in one pass: hot buckets above
+    ``max_bucket_size`` (rare by construction: byte-identical content
+    is sha-collapsed before banding) are dropped and logged, singleton
+    buckets (the overwhelming majority — honest band hashes rarely
+    collide) never reach the group stage at all, and only the 2..cap
+    keys are grouped, so per-group state is bounded at cap × fid
+    bytes and the group-side exchange carries only pair-producing
+    rows (usually elided entirely: AQE broadcasts the multi-member
+    key set and the probe is a map-side semi join).
 
     ``materialize`` is the caller's checkpoint hook (the pipeline
     passes its parquet ``_ckpt`` so the bucket table survives executor
@@ -51,15 +51,34 @@ def lsh_candidate_pairs(
     storage via localCheckpoint)."""
     if materialize is None:
         materialize = lambda d: d.localCheckpoint()  # noqa: E731
-    # oversized buckets dropped and *logged*, per standard LSH practice
-    # (SURVEY §4.3) — shared skew-cap kernel below
-    pruned, dropped_report = drop_oversized_groups(
-        band_rows, ["band_id", "band_hash"], cfg.max_bucket_size, "bucket_size"
+    # One count pre-pass (map-side combinable — its shuffle carries
+    # ~one compact key row per distinct (band_id, band_hash) per
+    # partition) classifies every bucket: > cap → dropped and *logged*,
+    # per standard LSH practice (SURVEY §4.3); == 1 → can never emit a
+    # pair. Only the 2..cap keys — the REAL candidate buckets, tiny
+    # relative to the band table because honest buckets are singletons —
+    # reach the collect_list. The r5 shape anti-joined only the
+    # oversized keys and then shuffled the ENTIRE band table again to
+    # group it; restricting the group-side input to multi-member keys
+    # first means the second exchange carries only rows that can
+    # produce pairs (bench: 5.8M band rows → ~0.4M), and when the
+    # multi-key set fits the broadcast threshold AQE turns the probe
+    # into a map-side semi join, removing the full-table exchange
+    # outright (guide §2.3/§2.4). On a high-dup-rate corpus where the
+    # multi-key set outgrows the threshold, AQE falls back to a
+    # shuffled join — the same full-table exchange the old shape
+    # always paid, plus one compact key shuffle.
+    counts = band_rows.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size")
     )
+    dropped_report = counts.filter(F.col("bucket_size") > cfg.max_bucket_size)
+    multi = counts.filter(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.max_bucket_size)
+    ).select("band_id", "band_hash")
     buckets = materialize(
-        pruned.groupBy("band_id", "band_hash")
+        band_rows.join(multi, ["band_id", "band_hash"], "left_semi")
+        .groupBy("band_id", "band_hash")
         .agg(F.collect_list("fid").alias("ids"))
-        .filter(F.size("ids") > 1)
     )
     # element i pairs with every j > i: transform over indices, slice
     # for the tail, flatten + explode — stays in whole-stage codegen

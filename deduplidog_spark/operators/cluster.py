@@ -28,7 +28,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
     checkpoint_every: int = 1,
-    check_every: int = 2,
+    check_every: int = 1,
     materialize=None,
 ) -> DataFrame:
     """Edges (id_a, id_b) → labels (fid, component) for every node that
@@ -65,9 +65,12 @@ def connected_components(
     so the convergence probe is a filter-count over the just-
     checkpointed table — no extra join job per round (the round-1
     version re-joined old vs new labels: one more shuffle per round).
-    ``check_every=2`` halves the probe count again; the cost is at most
-    one redundant round after convergence, against rounds that are
-    O(diameter) ≈ 3-5 for near-star dedup graphs.
+    ``check_every=1`` (r6 default, was 2) probes after every round: the
+    probe is a cheap limit-1 count over the materialized round table,
+    while a redundant round is two joins + an aggregation — with
+    pointer doubling most dedup graphs converge in 2-3 rounds, so
+    skipping probes was costing a full extra round on the odd-round
+    cases for no measurable saving.
 
     ``materialize(df, tag)`` is the per-round lineage-truncation hook:
     default ``localCheckpoint`` (fast, but pinned to executor storage —
@@ -93,54 +96,62 @@ def connected_components(
     ).select("e.src", "e.dst")
     und = materialize(und.filter(F.col("src") != F.col("dst")).distinct(), "edges")
 
-    # initial labels derive from the (already materialized) edge list —
-    # no separate checkpoint job; iteration 1 computes them inline
-    labels = (
-        und.select(F.col("src").alias("fid"))
-        .distinct()
-        .withColumn("component", F.col("fid"))
-    )
-
+    labels = None
     for i in range(max_iterations):
-        # neighbor labels: for each edge (src,dst), dst's current label;
-        # the node's own label rides along flagged is_self so the same
-        # aggregation yields (new component, previous component)
-        nbr = und.join(
-            labels.withColumnRenamed("fid", "dst").withColumnRenamed(
-                "component", "nbr_component"
-            ),
-            "dst",
-        ).select(
-            F.col("src").alias("fid"),
-            "nbr_component",
-            F.lit(False).alias("is_self"),
-        )
-        own = labels.select(
-            "fid",
-            F.col("component").alias("nbr_component"),
-            F.lit(True).alias("is_self"),
-        )
-        # pointer-doubling shortcut: for node x labeled c, c's own
-        # label rides into x's min — one labels⋈labels join into the
-        # same aggregation, collapsing chains exponentially (round 1
-        # is the identity map, component == fid, and contributes
-        # nothing new)
-        shortcut = labels.join(
-            labels.select(
-                F.col("fid").alias("component"),
-                F.col("component").alias("nbr_component"),
-            ),
-            "component",
-        ).select("fid", "nbr_component", F.lit(False).alias("is_self"))
-        new_labels = (
-            nbr.union(own)
-            .union(shortcut)
-            .groupBy("fid")
-            .agg(
-                F.min("nbr_component").alias("component"),
-                F.max(F.when(F.col("is_self"), F.col("nbr_component"))).alias("prev"),
+        if i == 0:
+            # FUSED round 0: initial labels are the identity map
+            # (component == fid), so min(self ∪ neighbor labels) =
+            # least(src, min(dst)) and the shortcut term label(label(x))
+            # is the identity too — the whole round is ONE map-side-
+            # combinable aggregation over the edge list, replacing the
+            # old round-0 shape (a distinct job to seed labels + the
+            # nbr join + the identity shortcut join + the groupBy:
+            # three shuffles and two joins that computed exactly this)
+            new_labels = und.groupBy("src").agg(
+                F.min("dst").alias("_mn")
+            ).select(
+                F.col("src").alias("fid"),
+                F.least(F.col("src"), F.col("_mn")).alias("component"),
+                F.col("src").alias("prev"),
             )
-        )
+        else:
+            # neighbor labels: for each edge (src,dst), dst's current
+            # label; the node's own label rides along flagged is_self so
+            # the same aggregation yields (new component, previous)
+            nbr = und.join(
+                labels.withColumnRenamed("fid", "dst").withColumnRenamed(
+                    "component", "nbr_component"
+                ),
+                "dst",
+            ).select(
+                F.col("src").alias("fid"),
+                "nbr_component",
+                F.lit(False).alias("is_self"),
+            )
+            own = labels.select(
+                "fid",
+                F.col("component").alias("nbr_component"),
+                F.lit(True).alias("is_self"),
+            )
+            # pointer-doubling shortcut: for node x labeled c, c's own
+            # label rides into x's min — one labels⋈labels join into the
+            # same aggregation, collapsing chains exponentially
+            shortcut = labels.join(
+                labels.select(
+                    F.col("fid").alias("component"),
+                    F.col("component").alias("nbr_component"),
+                ),
+                "component",
+            ).select("fid", "nbr_component", F.lit(False).alias("is_self"))
+            new_labels = (
+                nbr.union(own)
+                .union(shortcut)
+                .groupBy("fid")
+                .agg(
+                    F.min("nbr_component").alias("component"),
+                    F.max(F.when(F.col("is_self"), F.col("nbr_component"))).alias("prev"),
+                )
+            )
         if checkpoint_every and (i % checkpoint_every == 0):
             new_labels = materialize(new_labels, f"r{i}")
         last_round = i == max_iterations - 1

@@ -124,12 +124,45 @@ def _cc_materializer(cfg: DedupConfig):
     return lambda df, tag: _ckpt(df, cfg, f"cc_{tag}")
 
 
-def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+_SLIM_STAGE = {
+    "minhash": "minhash_bands",
+    "simhash": "simhash_bands",
+    "substring": "winnow_bands",
+}
+
+
+def _banded(files_full: DataFrame, cfg: DedupConfig):
+    """Mode-specific banded projection: (df with band columns added,
+    [band column names])."""
+    if cfg.mode == "minhash":
+        return (
+            mh.with_band_hashes(mh.with_signatures(files_full, cfg), cfg),
+            ["band_hashes"],
+        )
+    if cfg.mode == "simhash":
+        return (
+            sh.with_simhash_chunks(sh.with_simhash(files_full, cfg), cfg),
+            ["band_hashes", "simhash"],
+        )
+    if cfg.mode == "substring":
+        return ss.with_fingerprints(files_full, cfg), ["band_hashes"]
+    raise ValueError(f"_banded: unsupported mode {cfg.mode!r}")
+
+
+def near_dup_edges(
+    files: DataFrame, cfg: DedupConfig, slim: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Candidate generation + verification for the selected near-dup
     mode. Returns (verified_pairs, dropped_buckets_report).
 
     Only one representative per distinct sha enters the LSH stage; the
     exact-dup star edges are unioned back in afterwards.
+
+    ``slim`` — optionally, the already-materialized slim band table
+    (fid, sha, size, n_lines, band cols); ``dedupe`` passes the
+    projection of its fused single-scan checkpoint so the corpus is
+    ingested+signed once, not once for the slim audit table and again
+    for the band table.
     """
     # Shuffle-only-hashes design: signatures/bands are computed in the
     # scan stage (no shuffle carries content or even the full signature
@@ -161,47 +194,30 @@ def near_dup_edges(files: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
         # the collapse would re-execute per consumer.
         return _ckpt(collapse_sha_reps(slim), cfg, "band_reps", reuse=True)
 
-    if cfg.mode == "minhash":
-        sigs = mh.with_band_hashes(mh.with_signatures(files, cfg), cfg)
+    if cfg.mode not in _SLIM_STAGE:
+        raise ValueError(f"near_dup_edges: unsupported mode {cfg.mode!r}")
+    if slim is None:
         # band hashes (32 longs) replace the full signature in the
         # materialized table — ~4× smaller; the exact-Jaccard stage is
         # the precision gate, so the signature-agreement estimate adds
         # nothing the bands + exact verify don't already give
+        banded, extra = _banded(files, cfg)
         slim = _ckpt(
-            sigs.select("fid", "sha", "size", "n_lines", "band_hashes"),
+            banded.select("fid", "sha", "size", "n_lines", *extra),
             cfg,
-            "minhash_bands",
+            _SLIM_STAGE[cfg.mode],
         )
-        reps = _sha_reps(slim)
-        band_rows = mh.explode_bands(reps)
-        pairs, dropped = lsh_candidate_pairs(band_rows, cfg, materialize=_mat)
-        verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)
-    elif cfg.mode == "simhash":
-        sigs = sh.with_simhash_chunks(sh.with_simhash(files, cfg), cfg)
-        slim = _ckpt(
-            sigs.select("fid", "sha", "size", "n_lines", "band_hashes", "simhash"),
-            cfg,
-            "simhash_bands",
-        )
-        reps = _sha_reps(slim)
-        band_rows = mh.explode_bands(reps)
-        pairs, dropped = lsh_candidate_pairs(band_rows, cfg, materialize=_mat)
+    reps = _sha_reps(slim)
+    band_rows = (
+        ss.explode_fingerprints(reps)
+        if cfg.mode == "substring"
+        else mh.explode_bands(reps)
+    )
+    pairs, dropped = lsh_candidate_pairs(band_rows, cfg, materialize=_mat)
+    if cfg.mode == "simhash":
         # verify by Hamming distance (V4 analog), then optional exact Jaccard
         pairs = sh.hamming_filter(pairs, slim, cfg)
-        verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)
-    elif cfg.mode == "substring":
-        fps = ss.with_fingerprints(files, cfg)
-        slim = _ckpt(
-            fps.select("fid", "sha", "size", "n_lines", "band_hashes"),
-            cfg,
-            "winnow_bands",
-        )
-        reps = _sha_reps(slim)
-        band_rows = ss.explode_fingerprints(reps)
-        pairs, dropped = lsh_candidate_pairs(band_rows, cfg, materialize=_mat)
-        verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)
-    else:
-        raise ValueError(f"near_dup_edges: unsupported mode {cfg.mode!r}")
+    verified = verify_candidate_pairs(pairs, slim, cfg, contents=contents)
     return verified.select("id_a", "id_b"), dropped
 
 
@@ -247,7 +263,25 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
         )
     files_full = _with_fid(ingest(raw, cfg))
     slim_cols = [c for c in files_full.columns if c != "content"]
-    files = _ckpt(files_full.select(*slim_cols), cfg, "files")
+    durable = bool(cfg.checkpoint_dir or cfg.checkpoint_table_prefix)
+    slim = None
+    if cfg.mode in _SLIM_STAGE and not durable:
+        # FUSED single scan (r6): without a durable checkpoint target
+        # the slim audit table and the band table were each a separate
+        # localCheckpoint pulling its own full ingest pass (scan +
+        # sha256 + derived columns, plus the signature UDF on the band
+        # pass). One combined materialization computes everything in
+        # one pass over the corpus; `files` and the band-stage `slim`
+        # are column projections of the same in-memory RDD. Durable
+        # runs keep the two-stage layout — load_state/resume reads
+        # `files` and `<mode>_bands` as separate fingerprint-keyed
+        # stages, and there the extra pass buys restartability.
+        banded, extra = _banded(files_full, cfg)
+        combined = _ckpt(banded.select(*slim_cols, *extra), cfg, "files")
+        files = combined.select(*slim_cols)
+        slim = combined.select("fid", "sha", "size", "n_lines", *extra)
+    else:
+        files = _ckpt(files_full.select(*slim_cols), cfg, "files")
     dropped = None
 
     if cfg.mode == "exact":
@@ -290,7 +324,7 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
         metrics = run_metrics(plan, files)
         return DedupResult(files, edges, clusters, plan, metrics)
     else:
-        near, dropped = near_dup_edges(files_full, cfg)
+        near, dropped = near_dup_edges(files_full, cfg, slim=slim)
         exact = exact_dup_pairs(files)
         # expand representative-level near edges back over sha groups is
         # unnecessary: exact star edges already tie every copy to its
