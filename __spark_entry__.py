@@ -527,10 +527,18 @@ def q_minhash_pairs(spark, sf_dir):
         lsh_bands=32, size_ratio_prefilter=0.3,
     )
     files = ingest(docs, cfg).withColumn("fid", F.concat_ws("/", "repo", "path"))
-    sigs = mh.with_signatures(files, cfg)
-    bands = mh.with_band_hashes(sigs, cfg)
-    pairs, _ = lsh_candidate_pairs(mh.explode_bands(bands), cfg)
-    return verify_candidate_pairs(pairs, sigs, cfg, sigs=sigs.select("fid", "sig"))
+    # r6: materialize the slim signature table ONCE — the band explode
+    # feeds the count pre-pass and the bucket probe, and verify joins
+    # size, sig and (via a separate lazy scan) content; left lazy, the
+    # Arrow signature UDF subtree was re-evaluated per consumer. Same
+    # outputs (the UDF is deterministic), one signature pass.
+    sigs = mh.with_band_hashes(mh.with_signatures(files, cfg), cfg)
+    slim = sigs.select("fid", "size", "sig", "band_hashes").localCheckpoint()
+    pairs, _ = lsh_candidate_pairs(mh.explode_bands(slim), cfg)
+    return verify_candidate_pairs(
+        pairs, slim, cfg, sigs=slim.select("fid", "sig"),
+        contents=files.select("fid", "content"),
+    )
 
 
 def _ascii_docs_min_len(docs, k: int):
@@ -977,8 +985,18 @@ def q_fork_pairs(spark, sf_dir):
         .withColumn("text", F.lit("MIT LICENSE boilerplate"))
     )
     corpus = base.unionByName(fork_a).unionByName(fork_b).unionByName(lic)
-    files = corpus.select("repo", F.sha2(F.col("text"), 256).alias("sha"))
-    pairs, _hot = fork_pairs(files, tau=0.5, max_sha_repos=8, min_shared=2)
+    # r6: materialize the slim (repo, sha) projection once and hand
+    # fork_pairs a checkpoint hook for its twice-consumed pruned table —
+    # left lazy, the planted-corpus union + sha256 subtree was
+    # replicated into every aggregation branch (the before-plan carried
+    # 144 Exchange nodes for a 5k-row corpus).
+    files = corpus.select(
+        "repo", F.sha2(F.col("text"), 256).alias("sha")
+    ).localCheckpoint()
+    pairs, _hot = fork_pairs(
+        files, tau=0.5, max_sha_repos=8, min_shared=2,
+        materialize=lambda d: d.localCheckpoint(),
+    )
     return pairs
 
 
@@ -1867,20 +1885,81 @@ def q_media_pairs_suite(spark, sf_dir):
     pairs ('video', v1 = shared_frames, see q_media_video_pairs), and
     the media dedup end-to-end flow ('e2e', id_b = component,
     v1 = keeper_id, see q_media_dedup_e2e)."""
-    h3 = q_media_phash_pairs(spark, sf_dir).select(
+    # r6: each constituent's media spec is IDENTICAL to its standalone
+    # builder (q_media_phash_pairs / q_media_near_pairs /
+    # q_media_near_pairs_gated / q_media_frames+q_media_video_pairs /
+    # q_media_dedup_e2e — outputs are byte-identical to the certified
+    # rows), but the decoded feature tables are materialized ONCE here:
+    # the chunk self-join consumes its feature table from both sides
+    # (plus the n_bytes keeper join in e2e), so the lazy plan ran the
+    # mapInPandas decode 2-3× per branch, and h8gate/e2e share one
+    # feature table outright (same payload+duration spec). 5 decode
+    # passes × replication → 4 decode passes × 1.
+    from deduplidog_spark.operators.multimodal import (
+        dedup_media,
+        extract_media_features,
+        near_dup_media_pairs,
+        near_dup_video_pairs,
+        sample_video_frames,
+    )
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf_dir, "documents")
+    dne = d.filter(F.length("text") > 0)
+    planted_payload = (
+        F.when(F.col("doc_id") % 37 == 0, F.encode(F.lit(""), "utf-8"))
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload")
+    )
+    feats_h3 = extract_media_features(
+        dne.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    ).localCheckpoint()
+    feats_h8 = extract_media_features(
+        dne.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            planted_payload,
+        )
+    ).localCheckpoint()
+    feats_vg = extract_media_features(
+        dne.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            planted_payload,
+            F.when(F.col("doc_id") % 2 == 0, (F.col("doc_id") % 4) * 10000)
+            .cast("long")
+            .alias("duration_ms"),
+        )
+    ).localCheckpoint()
+    frames = sample_video_frames(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+        ),
+        n_frames=4,
+    ).localCheckpoint()
+
+    h3 = near_dup_media_pairs(feats_h3, max_hamming=3).select(
         F.lit("h3").alias("mode"), "id_a", "id_b", _nb().alias("v1")
     )
-    h8g = q_media_near_pairs_gated(spark, sf_dir).select(
-        F.lit("h8gate").alias("mode"), "id_a", "id_b", _nb().alias("v1")
-    )
-    h8 = q_media_near_pairs(spark, sf_dir).select(
+    h8g = near_dup_media_pairs(
+        feats_vg, max_hamming=8, duration_tolerance_ms=5000
+    ).select(F.lit("h8gate").alias("mode"), "id_a", "id_b", _nb().alias("v1"))
+    h8 = near_dup_media_pairs(feats_h8, max_hamming=8).select(
         F.lit("h8").alias("mode"), "id_a", "id_b", _nb().alias("v1")
     )
-    video = q_media_video_pairs(spark, sf_dir).select(
+    video = near_dup_video_pairs(
+        frames, max_hamming=3, min_shared_frames=2
+    ).select(
         F.lit("video").alias("mode"), "id_a", "id_b",
         F.col("shared_frames").cast("long").alias("v1"),
     )
-    e2e = q_media_dedup_e2e(spark, sf_dir).select(
+    e2e = dedup_media(feats_vg, max_hamming=8, duration_tolerance_ms=5000).select(
         F.lit("e2e").alias("mode"), F.col("media_id").alias("id_a"),
         F.col("component").alias("id_b"),
         F.col("keeper_id").cast("long").alias("v1"),

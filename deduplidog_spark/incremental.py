@@ -315,7 +315,25 @@ def state_from_result(result, base_raw: DataFrame, cfg: DedupConfig) -> BaseStat
     """Build in-memory state from a completed ``pipeline.dedupe``
     result when no checkpoint target was configured (tests, notebook
     runs); production batches use ``load_state`` against the persisted
-    stages instead of recomputing base signatures here."""
+    stages instead of recomputing base signatures here.
+
+    r6: the fused-scan pipeline hands back its MATERIALIZED band table
+    and rep table on the result (``DedupResult.bands``/``band_reps``),
+    so the common case reuses them directly — previously this rebuilt
+    the band table lazily from ``base_raw``, and every downstream
+    consumer of the state (the union verify table, the base rep
+    explode) re-paid the base signature UDF per reference."""
+    if cfg.mode in _BAND_STAGE and result.bands is not None:
+        return BaseState(
+            files=result.files,
+            bands=result.bands,
+            labels=result.clusters.select("fid", "component"),
+            band_reps=(
+                result.band_reps
+                if result.band_reps is not None
+                else _collapse_reps(result.bands)
+            ),
+        )
     full = ingest(base_raw, cfg).withColumn("fid", F.concat_ws("/", "repo", "path"))
     bands = _slim_bands(full, cfg) if cfg.mode in _BAND_STAGE else None
     return BaseState(

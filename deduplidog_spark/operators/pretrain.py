@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import content_fingerprint, quality_score, token_count, ws_tokens
+from .textstats import (
+    _let,
+    content_fingerprint,
+    quality_score,
+    token_count,
+    ws_tokens,
+)
 
 
 def words_of(text: Column) -> Column:
@@ -47,12 +53,19 @@ def passage_table(
     the exploded table shuffles 32-byte keys, never text. Empty docs
     produce no rows (skip_empty semantics, F4).
     """
-    w = words_of(F.col(text_col))
-    n_pass = F.ceil(F.size(w) / F.lit(passage_words)).cast("int")
-    passages = F.transform(
-        F.sequence(F.lit(0), n_pass - 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i * passage_words + 1, passage_words))),
-    )
+    def _passages(s: Column) -> Column:
+        # w is a bound lambda variable (see textstats._let): the
+        # whitespace split runs once per row, not once per passage
+        w = s["w"]
+        n_pass = F.ceil(F.size(w) / F.lit(passage_words)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_pass - 1),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(w, i * passage_words + 1, passage_words))
+            ),
+        )
+
+    passages = _let(F.struct(words_of(F.col(text_col)).alias("w")), _passages)
     return (
         # size(w) > 0, not length(trim) > 0: a '\n'-only doc passes the
         # trim test but has zero tokens — n_pass = 0 would make the
@@ -103,16 +116,27 @@ def passage_dup_stats(
 
 def word_grams(text: Column, n: int, distinct: bool = True) -> Column:
     """Array of ``n``-word grams (space-joined); [] when the document
-    is shorter than n words."""
-    w = words_of(text)
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams) if distinct else grams
+    is shorter than n words.
+
+    The token array is ``_let``-bound so the whitespace split runs ONCE
+    per row: Column objects are expression trees and Spark's
+    subexpression elimination skips higher-order functions, so the
+    unbound form re-evaluated the split inside the transform lambda —
+    once per gram position (≈ token-count times per row; measured 4×
+    on the bench corpus)."""
+
+    def body(s: Column) -> Column:
+        w = s["w"]
+        grams = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(grams) if distinct else grams
+
+    return _let(F.struct(words_of(text).alias("w")), body)
 
 
 def decontaminate(
@@ -218,12 +242,24 @@ def head_passage_fingerprint(text: Column, n_words: int = 20) -> Column:
 def dup_2gram_fraction_col(t: Column) -> Column:
     """Fraction of 2-gram occurrences that repeat an earlier one (the
     discriminative Gopher repetition signal; shared by
-    repetition_stats and curate)."""
+    repetition_stats and curate).
+
+    The gram array is ``_let``-bound: the expression references it for
+    the total size (three times, via the guard/ratio) and the distinct
+    size, and without the binding each reference re-built every gram
+    string per row (this single column was 11.6s of the 20s curation
+    query on the bench corpus; 3.2s bound)."""
     g2 = word_grams(t, 2, distinct=False)
-    n_g2 = F.size(g2)
-    return F.when(
-        n_g2 > 0, F.round((n_g2 - F.size(F.array_distinct(g2))) / n_g2, 6)
-    ).otherwise(F.lit(0.0))
+
+    def body(s: Column) -> Column:
+        garr = s["g"]
+        n_g2 = F.size(garr)
+        return F.when(
+            n_g2 > 0,
+            F.round((n_g2 - F.size(F.array_distinct(garr))) / n_g2, 6),
+        ).otherwise(F.lit(0.0))
+
+    return _let(F.struct(g2.alias("g")), body)
 
 
 def curate(
@@ -279,6 +315,17 @@ def curate(
         base = base.join(contaminated, id_col, "left")
     else:
         base = base.withColumn("is_contaminated", F.lit(None).cast("boolean"))
+    # materialize the verdict base ONCE (r6): it feeds the blocked-id
+    # set (which rides inside the election subtree), the duplicate-
+    # loser join, and the final projection — left lazy, each consumer
+    # re-evaluated the whole upstream including the benchmark-overlap
+    # join (the 8-gram explode over the full corpus ran 2-3×; this
+    # plus the _let bindings above took the composed curation query
+    # 20.8s → 5.4s on the bench corpus). The table is one slim row per
+    # doc (id + four scalars + a flag) — no content — so the
+    # materialization is O(corpus ids), not O(corpus bytes), and the
+    # same holds at 100 TB.
+    base = base.localCheckpoint()
     survives_other_gates = (
         ~F.col("is_quarantined")
         & (F.col("n_tokens") >= min_tokens)

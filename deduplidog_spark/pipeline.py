@@ -48,6 +48,14 @@ class DedupResult:
     plan: DataFrame  # action-plan table
     metrics: DataFrame  # one-row counters
     dropped_buckets: DataFrame | None = None  # LSH skew-cap log
+    # the materialized slim band table + sha-collapsed reps from the
+    # fused single-scan path (r6): incremental.state_from_result reuses
+    # them so building append state off a completed in-session run
+    # never re-pays the signature UDF over the base corpus. None on the
+    # durable path (load_state reads the persisted stages instead) and
+    # for name/exact modes.
+    bands: DataFrame | None = None
+    band_reps: DataFrame | None = None
 
 
 def _fs_exists(spark, path: str) -> bool:
@@ -150,7 +158,10 @@ def _banded(files_full: DataFrame, cfg: DedupConfig):
 
 
 def near_dup_edges(
-    files: DataFrame, cfg: DedupConfig, slim: DataFrame | None = None
+    files: DataFrame,
+    cfg: DedupConfig,
+    slim: DataFrame | None = None,
+    reps: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate generation + verification for the selected near-dup
     mode. Returns (verified_pairs, dropped_buckets_report).
@@ -207,7 +218,8 @@ def near_dup_edges(
             cfg,
             _SLIM_STAGE[cfg.mode],
         )
-    reps = _sha_reps(slim)
+    if reps is None:
+        reps = _sha_reps(slim)
     band_rows = (
         ss.explode_fingerprints(reps)
         if cfg.mode == "substring"
@@ -280,8 +292,10 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
         combined = _ckpt(banded.select(*slim_cols, *extra), cfg, "files")
         files = combined.select(*slim_cols)
         slim = combined.select("fid", "sha", "size", "n_lines", *extra)
+        reps = _ckpt(collapse_sha_reps(slim), cfg, "band_reps", reuse=True)
     else:
         files = _ckpt(files_full.select(*slim_cols), cfg, "files")
+        reps = None
     dropped = None
 
     if cfg.mode == "exact":
@@ -324,7 +338,7 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
         metrics = run_metrics(plan, files)
         return DedupResult(files, edges, clusters, plan, metrics)
     else:
-        near, dropped = near_dup_edges(files_full, cfg, slim=slim)
+        near, dropped = near_dup_edges(files_full, cfg, slim=slim, reps=reps)
         exact = exact_dup_pairs(files)
         # expand representative-level near edges back over sha groups is
         # unnecessary: exact star edges already tie every copy to its
@@ -343,4 +357,7 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
     plan = action_plan(clusters, cfg)
     plan = _ckpt(plan, cfg, "plan", reuse=False)
     metrics = run_metrics(plan, files)
-    return DedupResult(files, edges, clusters, plan, metrics, dropped)
+    return DedupResult(
+        files, edges, clusters, plan, metrics, dropped,
+        bands=slim, band_reps=reps,
+    )
