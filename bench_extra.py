@@ -86,7 +86,7 @@ def profile_headline():
     )
     slim_cols = [c for c in files_full.columns if c != "content"]
     contents = files_full.select("fid", "content")
-    sigs = mh.with_band_hashes(mh.with_signatures(files_full, cfg), cfg)
+    sigs = mh.with_banded_signatures(files_full, cfg)
     sc.setJobDescription("stage: fused files+bands ckpt")
     combined = sigs.select(*slim_cols, "band_hashes").localCheckpoint()
     files = combined.select(*slim_cols)

@@ -126,6 +126,54 @@ def oph_signature(shingle_hashes_u64: np.ndarray, num_perm: int) -> np.ndarray:
     return sig.astype(np.int64)
 
 
+_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = np.uint64(0x165667B19E3779F9)
+_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh_rotl(x: np.ndarray, r: int) -> np.ndarray:
+    rr = np.uint64(r)
+    return (x << rr) | (x >> (np.uint64(64) - rr))
+
+
+def xxh64_long(x: np.ndarray, seed) -> np.ndarray:
+    """Vectorized xxHash64 of a single long, bit-identical to Spark's
+    ``xxhash64`` on a LongType column (catalyst XXH64.hashLong):
+    Spark hashes multiple arguments by folding — each argument's hash
+    seeds the next — so chaining this per argument reproduces
+    ``xxhash64(c1, …, cn)`` exactly (validated against the JVM in
+    tests). Everything wraps mod 2^64 via numpy uint64."""
+    h = seed + _XXH_P5 + np.uint64(8)
+    h = h ^ (_xxh_rotl(x * _XXH_P2, 31) * _XXH_P1)
+    h = _xxh_rotl(h, 27) * _XXH_P1 + _XXH_P4
+    h ^= h >> np.uint64(33)
+    h *= _XXH_P2
+    h ^= h >> np.uint64(29)
+    h *= _XXH_P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def band_hashes_from_sigs(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """LSH band hashes for a (N, bands·rows) signature matrix:
+    band b = xxhash64(sig[b·r], …, sig[b·r+r-1]) with Spark's default
+    seed 42 — bit-identical to the JVM banding expression
+    (minhash.with_band_hashes), so signatures can be banded inside the
+    Arrow UDF and only B longs per row cross back to the JVM instead
+    of the full num_perm-wide signature."""
+    n = sigs.shape[0]
+    s = sigs.astype(np.uint64, copy=False)
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        h = np.full(n, 42, dtype=np.uint64)
+        for j in range(rows):
+            h = xxh64_long(s[:, b * rows + j], h)
+        out[:, b] = h
+    return out.astype(np.int64)
+
+
 def simhash64(shingle_hashes: np.ndarray, chunk: int = 1 << 16) -> int:
     """64-bit SimHash over (multiplicity-weighted) shingle hashes —
     the analog of the reference's 64-bit average_hash (helpers.py:44-53).

@@ -155,7 +155,7 @@ def _slim_bands(files_full: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Mode-specific slim band table for a batch — same columns as the
     pipeline's checkpointed stage (pipeline.near_dup_edges)."""
     if cfg.mode == "minhash":
-        sigs = mh.with_band_hashes(mh.with_signatures(files_full, cfg), cfg)
+        sigs = mh.with_banded_signatures(files_full, cfg)
         return sigs.select("fid", "sha", "size", "n_lines", "band_hashes")
     if cfg.mode == "simhash":
         sigs = sh.with_simhash_chunks(sh.with_simhash(files_full, cfg), cfg)

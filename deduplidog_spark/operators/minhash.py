@@ -64,6 +64,59 @@ def with_signatures(files: DataFrame, cfg: DedupConfig) -> DataFrame:
     return files.withColumn("sig", make_minhash_udf(cfg)(F.col("content")))
 
 
+def make_minhash_band_udf(cfg: DedupConfig):
+    """Signature + banding fused into ONE Arrow UDF (r6): returns the
+    B band hashes directly instead of the num_perm-wide signature. The
+    banding kernel (functions.hashing.band_hashes_from_sigs) is
+    bit-identical to the JVM ``xxhash64`` folding in
+    ``with_band_hashes`` (regression-pinned in tests), so consumers see
+    exactly the same band values — but only B longs per row cross the
+    Python→JVM boundary (B=32 vs num_perm=128 default: 4× less Arrow
+    transfer), the JVM evaluates no 128-element banding expression,
+    and the full signature array never exists JVM-side at all. Rows
+    gated by F6 / NULL content yield NULL (no band rows), matching the
+    ``with_band_hashes`` NULL guard."""
+    k = cfg.shingle_k
+    max_size = cfg.hash_max_size
+    num_perm = cfg.num_perm
+    n_bands = cfg.lsh_bands
+    n_rows = cfg.lsh_rows
+    use_oph = cfg.minhash_impl == "oph"
+    a, b = H.minhash_params(num_perm, cfg.seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_bands(content: pd.Series) -> pd.Series:
+        n = len(content)
+        sigs = np.zeros((n, num_perm), dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, text in enumerate(content):
+            if text is None or (max_size is not None and len(text) > max_size):
+                continue  # F6 hash-cost gate → never similar
+            if use_oph:
+                h = np.unique(H.shingle_hashes_u64(text, k))
+                sigs[i] = H.oph_signature(h, num_perm)
+            else:
+                sh = H.shingle_set_u32(text, k)
+                sigs[i] = H.minhash_signature(sh, a, b)
+            ok[i] = True
+        bands = H.band_hashes_from_sigs(sigs, n_bands, n_rows)
+        return pd.Series(
+            [bands[i] if ok[i] else None for i in range(n)]
+        )
+
+    return minhash_bands
+
+
+def with_banded_signatures(files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Adds ``band_hashes`` in one fused UDF pass — the hot-path
+    equivalent of ``with_band_hashes(with_signatures(...))`` for
+    consumers that never read ``sig`` (the dedup pipeline; the
+    signature-agreement gate is not part of its verify chain)."""
+    return files.withColumn(
+        "band_hashes", make_minhash_band_udf(cfg)(F.col("content"))
+    )
+
+
 def with_band_hashes(df: DataFrame, cfg: DedupConfig, sig_col: str = "sig") -> DataFrame:
     """JVM-side banding: band b = xxhash64(sig[b*r+1], …, sig[b*r+r]).
 

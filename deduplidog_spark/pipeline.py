@@ -143,10 +143,10 @@ def _banded(files_full: DataFrame, cfg: DedupConfig):
     """Mode-specific banded projection: (df with band columns added,
     [band column names])."""
     if cfg.mode == "minhash":
-        return (
-            mh.with_band_hashes(mh.with_signatures(files_full, cfg), cfg),
-            ["band_hashes"],
-        )
+        # fused signature+banding UDF: band values are bit-identical to
+        # the two-step with_band_hashes(with_signatures(...)) (pinned in
+        # tests) but only B longs per row cross the Python boundary
+        return mh.with_banded_signatures(files_full, cfg), ["band_hashes"]
     if cfg.mode == "simhash":
         return (
             sh.with_simhash_chunks(sh.with_simhash(files_full, cfg), cfg),

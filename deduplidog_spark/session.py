@@ -19,6 +19,28 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def default_driver_mem() -> str:
+    """Driver-heap default, overridable via SPARK_GRAFT_DRIVER_MEM.
+
+    In local mode the driver JVM hosts every executor thread, so the
+    heap must be sized to the HOST, not to a cluster driver's modest
+    needs: the old fixed 8g default left 32 concurrent tasks sharing
+    ~4.8g of execution+storage memory on a 128 GiB machine — GC churn
+    showed up as 1.7-2.9× run-to-run spread on the heavier bench
+    queries. Scale-adaptive: a quarter of physical RAM, clamped to
+    [8g, 48g] (small CI hosts keep the old 8g; a real cluster driver
+    is configured by spark-submit and never reads this default)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        quarter_gb = int(total / (1 << 30) // 4)
+        return f"{min(48, max(8, quarter_gb))}g"
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+
+
 def get_spark(
     app_name: str = "deduplidog-spark",
     master: str | None = None,
@@ -64,7 +86,7 @@ def get_spark(
         # generous broadcast threshold: dims (nation/region/config tables)
         # and LSH heavy-bucket blacklists should always broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
