@@ -1911,45 +1911,73 @@ def q_media_pairs_suite(spark, sf_dir):
         .otherwise(F.encode("text", "utf-8"))
         .alias("payload")
     )
-    feats_h3 = extract_media_features(
-        dne.select(
-            F.col("doc_id").alias("media_id"),
-            F.lit("image").alias("kind"),
-            F.encode("text", "utf-8").alias("payload"),
+    # the four feature materializations are independent jobs — build
+    # them from a small thread pool so each job's straggler tail
+    # back-fills with the next job's tasks (guide §2.6); Spark's
+    # scheduler runs concurrent jobs from driver threads natively
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _b_h3():
+        return extract_media_features(
+            dne.select(
+                F.col("doc_id").alias("media_id"),
+                F.lit("image").alias("kind"),
+                F.encode("text", "utf-8").alias("payload"),
+            )
+        ).localCheckpoint()
+
+    def _b_h8():
+        return extract_media_features(
+            dne.select(
+                F.col("doc_id").alias("media_id"),
+                F.lit("image").alias("kind"),
+                planted_payload,
+            )
+        ).localCheckpoint()
+
+    def _b_vg():
+        return extract_media_features(
+            dne.select(
+                F.col("doc_id").alias("media_id"),
+                F.lit("video").alias("kind"),
+                planted_payload,
+                F.when(F.col("doc_id") % 2 == 0, (F.col("doc_id") % 4) * 10000)
+                .cast("long")
+                .alias("duration_ms"),
+            )
+        ).localCheckpoint()
+
+    def _b_frames():
+        return sample_video_frames(
+            d.select(
+                F.col("doc_id").alias("media_id"),
+                F.lit("video").alias("kind"),
+                F.encode("text", "utf-8").alias("payload"),
+            ),
+            n_frames=4,
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_h3, f_h8, f_vg, f_fr = (
+            pool.submit(_b_h3), pool.submit(_b_h8),
+            pool.submit(_b_vg), pool.submit(_b_frames),
         )
-    ).localCheckpoint()
-    feats_h8 = extract_media_features(
-        dne.select(
-            F.col("doc_id").alias("media_id"),
-            F.lit("image").alias("kind"),
-            planted_payload,
+        feats_h3, feats_h8, feats_vg, frames = (
+            f_h3.result(), f_h8.result(), f_vg.result(), f_fr.result(),
         )
-    ).localCheckpoint()
-    feats_vg = extract_media_features(
-        dne.select(
-            F.col("doc_id").alias("media_id"),
-            F.lit("video").alias("kind"),
-            planted_payload,
-            F.when(F.col("doc_id") % 2 == 0, (F.col("doc_id") % 4) * 10000)
-            .cast("long")
-            .alias("duration_ms"),
-        )
-    ).localCheckpoint()
-    frames = sample_video_frames(
-        d.select(
-            F.col("doc_id").alias("media_id"),
-            F.lit("video").alias("kind"),
-            F.encode("text", "utf-8").alias("payload"),
-        ),
-        n_frames=4,
-    ).localCheckpoint()
 
     h3 = near_dup_media_pairs(feats_h3, max_hamming=3).select(
         F.lit("h3").alias("mode"), "id_a", "id_b", _nb().alias("v1")
     )
-    h8g = near_dup_media_pairs(
+    # the gated radius-8 pair set is shared by the h8gate rows AND the
+    # e2e dedup (same features, radius, gate): materialized once, the
+    # chunk self-join runs once instead of twice
+    pairs_vg = near_dup_media_pairs(
         feats_vg, max_hamming=8, duration_tolerance_ms=5000
-    ).select(F.lit("h8gate").alias("mode"), "id_a", "id_b", _nb().alias("v1"))
+    ).localCheckpoint()
+    h8g = pairs_vg.select(
+        F.lit("h8gate").alias("mode"), "id_a", "id_b", _nb().alias("v1")
+    )
     h8 = near_dup_media_pairs(feats_h8, max_hamming=8).select(
         F.lit("h8").alias("mode"), "id_a", "id_b", _nb().alias("v1")
     )
@@ -1959,7 +1987,9 @@ def q_media_pairs_suite(spark, sf_dir):
         F.lit("video").alias("mode"), "id_a", "id_b",
         F.col("shared_frames").cast("long").alias("v1"),
     )
-    e2e = dedup_media(feats_vg, max_hamming=8, duration_tolerance_ms=5000).select(
+    e2e = dedup_media(
+        feats_vg, max_hamming=8, duration_tolerance_ms=5000, pairs=pairs_vg
+    ).select(
         F.lit("e2e").alias("mode"), F.col("media_id").alias("id_a"),
         F.col("component").alias("id_b"),
         F.col("keeper_id").cast("long").alias("v1"),
