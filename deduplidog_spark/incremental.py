@@ -377,7 +377,19 @@ def incremental_dedupe(
         "fid", F.concat_ws("/", "repo", "path")
     )
     slim_cols = [c for c in new_full.columns if c != "content"]
-    new_files = new_full.select(*slim_cols).localCheckpoint()
+    comb = None
+    if cfg.mode == "minhash":
+        # fused batch scan (r6, mirrors pipeline.dedupe): ONE
+        # mapInPandas pass yields both the slim audit table and the
+        # band table as projections of a single materialization —
+        # previously new_files and new_slim were separate checkpoints,
+        # each pulling its own full ingest (+ signature) pass
+        comb = mh.banded_ingest_scan(new_raw, cfg).withColumn(
+            "fid", F.concat_ws("/", "repo", "path")
+        ).localCheckpoint()
+        new_files = comb.select(*slim_cols)
+    else:
+        new_files = new_full.select(*slim_cols).localCheckpoint()
 
     exact = incremental_exact_edges(new_files, state.files)
     dropped = None
@@ -392,7 +404,11 @@ def incremental_dedupe(
                 "new-vs-base pairs; pass the base scan or set "
                 "exact_verify=False"
             )
-        new_slim = _slim_bands(new_full, cfg).localCheckpoint()
+        new_slim = (
+            comb.select("fid", "sha", "size", "n_lines", "band_hashes")
+            if comb is not None
+            else _slim_bands(new_full, cfg).localCheckpoint()
+        )
         # sha-collapse within the batch AND against the base: batch
         # copies of content the base already carries ride the exact
         # star edges; only genuinely new content enters LSH

@@ -81,12 +81,11 @@ def _normalize_stem(stem: Column, cfg: DedupConfig, shorten: bool) -> Column:
     return key
 
 
-def with_derived_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """One projection adding filename/stem/ext/norm_key/size/sha.
-
-    ``sha`` is the content invariant: nothing downstream ever rewrites
-    ``content``, and tests assert sha-set equality pre/post pipeline.
-    """
+def with_path_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """The path-derived half of the ingest projection: filename, ext,
+    stem, norm_key, norm_key_short — shared verbatim by the standard
+    ingest and the fused Python scan (minhash.banded_ingest_scan), so
+    key-normalization semantics cannot drift between the two paths."""
     filename = F.element_at(F.split(F.col("path"), "/"), -1)
     # K1: suffix = text after the last dot *if* there is a dot in the
     # filename (Path.suffix semantics: '' when no dot / leading dot only)
@@ -98,11 +97,26 @@ def with_derived_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
         filename.rlike(r"..*\.[^.]+$"),
         F.regexp_replace(filename, r"\.[^.]+$", ""),
     ).otherwise(filename)
-
     out = (
         df.withColumn("filename", filename)
         .withColumn("ext", F.lower(ext))
         .withColumn("stem", stem)
+    )
+    out = out.withColumn("norm_key", _normalize_stem(F.col("stem"), cfg, shorten=False))
+    out = out.withColumn(
+        "norm_key_short", _normalize_stem(F.col("stem"), cfg, shorten=True)
+    )
+    return out
+
+
+def with_derived_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """One projection adding filename/stem/ext/norm_key/size/sha.
+
+    ``sha`` is the content invariant: nothing downstream ever rewrites
+    ``content``, and tests assert sha-set equality pre/post pipeline.
+    """
+    out = (
+        with_path_columns(df, cfg)
         .withColumn("size", F.octet_length("content").cast("long"))
         # V5 cheap numeric feature (frame-count analog): line count,
         # computed in-scan where content is already resident — the
@@ -118,10 +132,6 @@ def with_derived_columns(df: DataFrame, cfg: DedupConfig) -> DataFrame:
         # a task and never matches (its sha/sig are NULL; the exact and
         # LSH stages exclude NULL keys explicitly).
         .withColumn("quarantined", F.col("content").isNull())
-    )
-    out = out.withColumn("norm_key", _normalize_stem(F.col("stem"), cfg, shorten=False))
-    out = out.withColumn(
-        "norm_key_short", _normalize_stem(F.col("stem"), cfg, shorten=True)
     )
     return out
 

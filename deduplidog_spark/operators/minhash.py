@@ -117,6 +117,91 @@ def with_banded_signatures(files: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def banded_ingest_scan(raw: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Ingest + signatures + banding in ONE ``mapInPandas`` pass over
+    the raw contract table — the minhash pipeline's scan stage (r6).
+
+    Produces exactly the columns of ``ingest(raw, cfg)`` minus
+    ``content`` plus ``band_hashes``. The content-derived values
+    (size = UTF-8 octet length, n_lines = newline count + 1, sha =
+    sha256 hex, the quarantine flag) are computed in the same Python
+    batch that shingles and bands the content, so content never
+    re-enters the JVM: the scalar-UDF form (``with_banded_signatures``)
+    evaluates content-bearing rows through ``ArrowEvalPython``, whose
+    passthrough queue buffers every input row — content included —
+    until its Python result returns, and the JVM then still pays
+    sha256 + the line split. One pass, measured 5.4s → 1.8s for the
+    200k-row bench scan stage, bit-identical rows (regression-pinned).
+
+    The path-derived columns (filename/ext/stem/norm keys) and the
+    row filters are the SAME Catalyst expressions as ``ingest`` —
+    applied above the Python node, where content no longer exists —
+    so K1-K6 normalization and F1-F4 filter semantics cannot drift.
+    """
+    from deduplidog_spark.ingest import apply_row_filters, with_path_columns
+
+    passthrough = [f for f in raw.schema.fields if f.name != "content"]
+    names = [f.name for f in passthrough]
+    schema = T.StructType(
+        list(passthrough)
+        + [
+            T.StructField("size", T.LongType()),
+            T.StructField("n_lines", T.LongType()),
+            T.StructField("sha", T.StringType()),
+            T.StructField("quarantined", T.BooleanType()),
+            T.StructField("band_hashes", T.ArrayType(T.LongType())),
+        ]
+    )
+    k = cfg.shingle_k
+    max_size = cfg.hash_max_size
+    num_perm = cfg.num_perm
+    n_bands = cfg.lsh_bands
+    n_rows = cfg.lsh_rows
+    use_oph = cfg.minhash_impl == "oph"
+    a, b = H.minhash_params(num_perm, cfg.seed)
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            contents = pdf["content"].tolist()
+            n = len(contents)
+            size = [None] * n
+            n_lines = [None] * n
+            sha = [None] * n
+            quar = [False] * n
+            sigs = np.zeros((n, num_perm), dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            for i, text in enumerate(contents):
+                if text is None:
+                    quar[i] = True  # P2 quarantine: NULL stats, no bands
+                    continue
+                bts = text.encode("utf-8", "surrogatepass")
+                size[i] = len(bts)
+                n_lines[i] = text.count("\n") + 1
+                sha[i] = hashlib.sha256(bts).hexdigest()
+                if max_size is not None and len(text) > max_size:
+                    continue  # F6 hash-cost gate → no bands
+                if use_oph:
+                    h = np.unique(H.shingle_hashes_u64(text, k))
+                    sigs[i] = H.oph_signature(h, num_perm)
+                else:
+                    sh = H.shingle_set_u32(text, k)
+                    sigs[i] = H.minhash_signature(sh, a, b)
+                ok[i] = True
+            bands = H.band_hashes_from_sigs(sigs, n_bands, n_rows)
+            out = pd.DataFrame({nm: pdf[nm] for nm in names})
+            out["size"] = pd.array(size, dtype="Int64")
+            out["n_lines"] = pd.array(n_lines, dtype="Int64")
+            out["sha"] = sha
+            out["quarantined"] = quar
+            out["band_hashes"] = [bands[i] if ok[i] else None for i in range(n)]
+            yield out
+
+    stats = raw.mapInPandas(gen, schema)
+    return apply_row_filters(with_path_columns(stats, cfg), cfg)
+
+
 def with_band_hashes(df: DataFrame, cfg: DedupConfig, sig_col: str = "sig") -> DataFrame:
     """JVM-side banding: band b = xxhash64(sig[b*r+1], …, sig[b*r+r]).
 

@@ -288,7 +288,13 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
         # runs keep the two-stage layout — load_state/resume reads
         # `files` and `<mode>_bands` as separate fingerprint-keyed
         # stages, and there the extra pass buys restartability.
-        banded, extra = _banded(files_full, cfg)
+        if cfg.mode == "minhash":
+            # single mapInPandas pass: ingest stats + signatures +
+            # banding in Python, path columns/filters as the shared
+            # JVM expressions on top (see minhash.banded_ingest_scan)
+            banded, extra = _with_fid(mh.banded_ingest_scan(raw, cfg)), ["band_hashes"]
+        else:
+            banded, extra = _banded(files_full, cfg)
         combined = _ckpt(banded.select(*slim_cols, *extra), cfg, "files")
         files = combined.select(*slim_cols)
         slim = combined.select("fid", "sha", "size", "n_lines", *extra)

@@ -225,3 +225,42 @@ def test_corpus_c_recall_vs_brute_force(spark):
     found = _co_clustered_pairs(dedupe(df, cfg))
     recall = len(truth & found) / len(truth)
     assert recall >= 0.99, f"recall {recall:.3f} over {len(truth)} true pairs"
+
+
+def test_banded_ingest_scan_matches_jvm_path(spark):
+    """The fused mapInPandas scan (ingest stats + signatures + banding
+    in Python) must be row-identical to the JVM ingest + banding UDF
+    path on every column, including the quarantine (NULL content) and
+    F6 hash-cost-gate rows."""
+    from pyspark.sql import functions as F
+
+    from deduplidog_spark.ingest import ingest
+    from deduplidog_spark.operators import minhash as mh
+
+    rows = [
+        ("r1", "src/a.py", "c0", "py", "def foo(): return 1\n" * 6, None, False),
+        ("r1", "src/b (2).PY", "c0", "py", "x" * 30 + "\n", None, False),
+        ("r2", "noext", "c0", "py", "line1\nline2", None, False),
+        ("r2", "bad.py", "c0", "py", None, None, False),          # quarantine
+        ("r2", "big.py", "c0", "py", "y" * 500, None, False),     # F6 gate
+        ("r2", "link.py", "c0", "py", "zzz", None, True),         # symlink filter
+        ("r3", "sub/dir/c.tar.gz", "c0", "py", "payload data\n\n", None, False),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, mtime timestamp, is_symlink boolean",
+    )
+    cfg = DedupConfig(mode="minhash", shingle_k=5, hash_max_size=200)
+    jvm = mh.with_banded_signatures(ingest(raw, cfg), cfg).drop("content", "sig")
+    fast = mh.banded_ingest_scan(raw, cfg)
+    cols = sorted(jvm.columns)
+    assert sorted(fast.columns) == cols
+
+    def rowset(df):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.select(*cols).collect()
+        }
+
+    assert rowset(jvm) == rowset(fast)
