@@ -241,12 +241,16 @@ def longest_common_substring_len(a: str, b: str) -> int:
     return lo
 
 
-def jaccard_of_texts(a: str, b: str, k: int) -> float:
-    """Exact shingle-set Jaccard — the verification oracle (V8)."""
-    sa = shingle_set_u32(a, k)
-    sb = shingle_set_u32(b, k)
+def jaccard_of_sets(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Exact Jaccard of two pre-computed distinct-shingle sets (sorted
+    unique arrays from ``shingle_set_u32``)."""
     if len(sa) == 0 and len(sb) == 0:
         return 1.0
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     union = sa.size + sb.size - inter
     return float(inter) / float(union) if union else 1.0
+
+
+def jaccard_of_texts(a: str, b: str, k: int) -> float:
+    """Exact shingle-set Jaccard — the verification oracle (V8)."""
+    return jaccard_of_sets(shingle_set_u32(a, k), shingle_set_u32(b, k))

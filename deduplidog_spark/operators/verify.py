@@ -37,18 +37,50 @@ def numeric_delta_gate(a, b, max_delta: int):
 
 
 def make_jaccard_udf(cfg: DedupConfig):
+    """Exact shingle-Jaccard per pair — iterator-form Arrow UDF with a
+    per-task shingle-set memo (r6): each document appears in as many
+    candidate pairs as its bucket degree (hundreds of times on
+    high-background corpora), and re-shingling the text per PAIR made
+    the exact stage O(pairs · doc_len) instead of O(docs · doc_len +
+    pairs · set_intersect). The memo lives for the task (guide §4.5 —
+    state constructed once before the batch loop), keyed by the content
+    string, and is cleared past ~8k entries to bound worker memory."""
+    from typing import Iterator, Tuple
+
     k = cfg.shingle_k
 
-    @pandas_udf(T.DoubleType())
-    def pair_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                H.jaccard_of_texts(x, y, k) if x is not None and y is not None else 0.0
-                for x, y in zip(a, b)
-            ]
-        )
+    def _pair_jaccard(batches):
+        cache: dict[str, object] = {}
 
-    return pair_jaccard
+        def sset(t: str):
+            s = cache.get(t)
+            if s is None:
+                if len(cache) > 8192:
+                    cache.clear()
+                s = H.shingle_set_u32(t, k)
+                cache[t] = s
+            return s
+
+        for a, b in batches:
+            yield pd.Series(
+                [
+                    H.jaccard_of_sets(sset(x), sset(y))
+                    if x is not None and y is not None
+                    else 0.0
+                    for x, y in zip(a, b)
+                ],
+                dtype="float64",
+            )
+
+    # explicit annotations: module-level `from __future__ import
+    # annotations` stringifies hints and pyspark's get_type_hints pass
+    # can't resolve the pipe-free generic form — same pattern as
+    # ingest._casefold_udf
+    _pair_jaccard.__annotations__ = {
+        "batches": Iterator[Tuple[pd.Series, pd.Series]],
+        "return": Iterator[pd.Series],
+    }
+    return pandas_udf(_pair_jaccard, T.DoubleType())
 
 
 def make_lcs_udf():
