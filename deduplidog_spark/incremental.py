@@ -451,7 +451,11 @@ def incremental_dedupe(
             )
         )
         near = verify_candidate_pairs(pairs, union_slim, cfg, contents=contents)
-        edges = near.select("id_a", "id_b").union(exact).dropDuplicates(["id_a", "id_b"])
+        # plain union, no dedup shuffle (mirrors pipeline.dedupe r6):
+        # near edges connect distinct-sha representatives, exact stars
+        # connect same-sha members — disjoint — and each side is
+        # internally duplicate-free
+        edges = near.select("id_a", "id_b").union(exact)
     else:
         raise ValueError(f"incremental_dedupe: unsupported mode {cfg.mode!r}")
 

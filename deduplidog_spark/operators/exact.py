@@ -74,6 +74,34 @@ def exact_dup_pairs(files: DataFrame) -> DataFrame:
     )
 
 
+def sha_groups(files: DataFrame) -> DataFrame:
+    """ONE aggregation serving both sha-collapse and exact-dup edges
+    (r6): (sha, root=min fid, n) over every row — including the NULL
+    sha group, whose winner row keeps ``collapse`` semantics identical
+    to ``collapse_sha_reps`` while the exact-edge join can never match
+    it (equality joins skip NULL keys). The pipeline previously ran
+    two independent full aggregations over the same (sha, fid) rows."""
+    return files.groupBy("sha").agg(
+        F.min(F.concat_ws("/", "repo", "path")).alias("root")
+        if "fid" not in files.columns
+        else F.min("fid").alias("root"),
+        F.count("*").alias("n"),
+    )
+
+
+def exact_dup_pairs_from_groups(files: DataFrame, groups: DataFrame) -> DataFrame:
+    """``exact_dup_pairs`` against a precomputed ``sha_groups`` table —
+    identical edges (star per sha group), one shared aggregation."""
+    w = files.filter(F.col("sha").isNotNull()).select(
+        F.col("sha"), F.concat_ws("/", "repo", "path").alias("fid")
+    )
+    return (
+        w.join(groups.filter(F.col("n") > 1).select("sha", "root"), "sha")
+        .filter(F.col("fid") != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col("fid").alias("id_b"))
+    )
+
+
 def collapse_sha_reps(bands: DataFrame) -> DataFrame:
     """One representative row per distinct sha (min fid, deterministic —
     SURVEY W5): the collapse that keeps byte-identical copies out of the

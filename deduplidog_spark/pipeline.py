@@ -35,7 +35,12 @@ from deduplidog_spark.operators import substring as ss
 from deduplidog_spark.operators.actions import action_plan, run_metrics
 from deduplidog_spark.operators.candidates import lsh_candidate_pairs
 from deduplidog_spark.operators.cluster import connected_components, elect_keepers
-from deduplidog_spark.operators.exact import collapse_sha_reps, exact_dup_pairs
+from deduplidog_spark.operators.exact import (
+    collapse_sha_reps,
+    exact_dup_pairs,
+    exact_dup_pairs_from_groups,
+    sha_groups,
+)
 from deduplidog_spark.operators.namedate import name_date_matches, pair_plan
 from deduplidog_spark.operators.verify import verify_candidate_pairs
 
@@ -298,10 +303,9 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
         combined = _ckpt(banded.select(*slim_cols, *extra), cfg, "files")
         files = combined.select(*slim_cols)
         slim = combined.select("fid", "sha", "size", "n_lines", *extra)
-        reps = _ckpt(collapse_sha_reps(slim), cfg, "band_reps", reuse=True)
     else:
         files = _ckpt(files_full.select(*slim_cols), cfg, "files")
-        reps = None
+    reps = None
     dropped = None
 
     if cfg.mode == "exact":
@@ -344,12 +348,29 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
         metrics = run_metrics(plan, files)
         return DedupResult(files, edges, clusters, plan, metrics)
     else:
-        near, dropped = near_dup_edges(files_full, cfg, slim=slim, reps=reps)
-        exact = exact_dup_pairs(files)
-        # expand representative-level near edges back over sha groups is
-        # unnecessary: exact star edges already tie every copy to its
-        # representative's component.
-        edges = near.union(exact).dropDuplicates(["id_a", "id_b"])
+        if slim is not None:
+            # fused path (r6): ONE sha aggregation serves both the rep
+            # collapse and the exact-dup star edges — they previously
+            # each ran a full groupBy over the same (sha, fid) rows.
+            # The group table broadcasts (AQE), so the rep semi-join
+            # and the edge join are map-side over the in-memory
+            # combined checkpoint.
+            groups = _ckpt(sha_groups(files), cfg, "sha_groups", reuse=True)
+            reps = slim.join(
+                groups.select(F.col("root").alias("fid")), "fid", "left_semi"
+            )
+            near, dropped = near_dup_edges(files_full, cfg, slim=slim, reps=reps)
+            exact = exact_dup_pairs_from_groups(files, groups)
+        else:
+            near, dropped = near_dup_edges(files_full, cfg, slim=slim, reps=reps)
+            exact = exact_dup_pairs(files)
+        # plain union, no dedup shuffle: the two edge sets are disjoint
+        # by construction (exact stars connect fids SHARING a sha; near
+        # edges connect sha REPRESENTATIVES, one per distinct sha, so
+        # both endpoints differ in sha) and each side is internally
+        # duplicate-free (near: candidate pairs are dropDuplicates'd;
+        # exact: one row per member fid)
+        edges = near.union(exact)
 
     # edges feed only connected_components (which materializes its own
     # undirected edge list), labels feed only the keeper window, the
