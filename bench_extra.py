@@ -80,22 +80,32 @@ def profile_headline():
     sc = spark.sparkContext
     t = T()
 
+    from deduplidog_spark.operators.exact import (
+        exact_dup_pairs_from_groups,
+        sha_groups,
+    )
+
     files_full = corpus
     files_full = ingest(files_full, cfg).withColumn(
         "fid", F.concat_ws("/", "repo", "path")
     )
     slim_cols = [c for c in files_full.columns if c != "content"]
     contents = files_full.select("fid", "content")
-    sigs = mh.with_banded_signatures(files_full, cfg)
+    banded = mh.banded_ingest_scan(corpus, cfg).withColumn(
+        "fid", F.concat_ws("/", "repo", "path")
+    )
     sc.setJobDescription("stage: fused files+bands ckpt")
-    combined = sigs.select(*slim_cols, "band_hashes").localCheckpoint()
+    combined = banded.select(*slim_cols, "band_hashes").localCheckpoint()
     files = combined.select(*slim_cols)
     slim = combined.select("fid", "sha", "size", "n_lines", "band_hashes")
     t.lap("fused ingest+signatures localCheckpoint")
 
-    sc.setJobDescription("stage: band reps ckpt")
-    reps = collapse_sha_reps(slim).localCheckpoint()
-    t.lap("sha-reps localCheckpoint")
+    sc.setJobDescription("stage: sha groups ckpt")
+    groups = sha_groups(files).localCheckpoint()
+    reps = slim.join(
+        groups.select(F.col("root").alias("fid")), "fid", "left_semi"
+    )
+    t.lap("sha-groups localCheckpoint")
 
     band_rows = mh.explode_bands(reps)
     pairs, dropped = lsh_candidate_pairs(
@@ -109,8 +119,8 @@ def profile_headline():
     t.lap("verify noop (pairs+gates+jaccard)")
 
     near = verified.select("id_a", "id_b")
-    exact = exact_dup_pairs(files)
-    edges = near.union(exact).dropDuplicates(["id_a", "id_b"])
+    exact = exact_dup_pairs_from_groups(files, groups)
+    edges = near.union(exact)
 
     sc.setJobDescription("stage: cc")
     labels = connected_components(edges, cfg.cc_max_iterations)
