@@ -533,7 +533,9 @@ def q_minhash_pairs(spark, sf_dir):
     # Arrow signature UDF subtree was re-evaluated per consumer. Same
     # outputs (the UDF is deterministic), one signature pass.
     sigs = mh.with_band_hashes(mh.with_signatures(files, cfg), cfg)
-    slim = sigs.select("fid", "size", "sig", "band_hashes").localCheckpoint()
+    slim = sigs.select("fid", "size", "sig", "band_hashes").localCheckpoint(
+        eager=False
+    )
     pairs, _ = lsh_candidate_pairs(mh.explode_bands(slim), cfg)
     return verify_candidate_pairs(
         pairs, slim, cfg, sigs=slim.select("fid", "sig"),
@@ -992,10 +994,10 @@ def q_fork_pairs(spark, sf_dir):
     # 144 Exchange nodes for a 5k-row corpus).
     files = corpus.select(
         "repo", F.sha2(F.col("text"), 256).alias("sha")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pairs, _hot = fork_pairs(
         files, tau=0.5, max_sha_repos=8, min_shared=2,
-        materialize=lambda d: d.localCheckpoint(),
+        materialize=lambda d: d.localCheckpoint(eager=False),
     )
     return pairs
 
@@ -1974,7 +1976,7 @@ def q_media_pairs_suite(spark, sf_dir):
     # chunk self-join runs once instead of twice
     pairs_vg = near_dup_media_pairs(
         feats_vg, max_hamming=8, duration_tolerance_ms=5000
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     h8g = pairs_vg.select(
         F.lit("h8gate").alias("mode"), "id_a", "id_b", _nb().alias("v1")
     )

@@ -386,10 +386,10 @@ def incremental_dedupe(
         # each pulling its own full ingest (+ signature) pass
         comb = mh.banded_ingest_scan(new_raw, cfg).withColumn(
             "fid", F.concat_ws("/", "repo", "path")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         new_files = comb.select(*slim_cols)
     else:
-        new_files = new_full.select(*slim_cols).localCheckpoint()
+        new_files = new_full.select(*slim_cols).localCheckpoint(eager=False)
 
     exact = incremental_exact_edges(new_files, state.files)
     dropped = None
@@ -407,7 +407,7 @@ def incremental_dedupe(
         new_slim = (
             comb.select("fid", "sha", "size", "n_lines", "band_hashes")
             if comb is not None
-            else _slim_bands(new_full, cfg).localCheckpoint()
+            else _slim_bands(new_full, cfg).localCheckpoint(eager=False)
         )
         # sha-collapse within the batch AND against the base: batch
         # copies of content the base already carries ride the exact
@@ -459,7 +459,10 @@ def incremental_dedupe(
     else:
         raise ValueError(f"incremental_dedupe: unsupported mode {cfg.mode!r}")
 
-    edges = edges.localCheckpoint()
+    # eager=False: the first consumer (incremental_labels' touched-node
+    # distinct) full-scans the edge list, so the lazy checkpoint caches
+    # identically without its own materialization job
+    edges = edges.localCheckpoint(eager=False)
     affected, updated = incremental_labels(edges, state.labels, cfg.cc_max_iterations)
     files_union = _union_audit_tolerant(state.files, new_files)
     clusters = elect_keepers(files_union, affected, cfg)

@@ -50,7 +50,11 @@ def lsh_candidate_pairs(
     loss and resumes across runs, instead of pinning rows in executor
     storage via localCheckpoint)."""
     if materialize is None:
-        materialize = lambda d: d.localCheckpoint()  # noqa: E731
+        # eager=False: the bucket table has exactly one consumer (the
+        # in-bucket pair expansion, a full scan), so the lazy form
+        # caches identically while skipping the separate
+        # materialization job + driver barrier
+        materialize = lambda d: d.localCheckpoint(eager=False)  # noqa: E731
     # One count pre-pass (map-side combinable — its shuffle carries
     # ~one compact key row per distinct (band_id, band_hash) per
     # partition) classifies every bucket: > cap → dropped and *logged*,

@@ -82,7 +82,15 @@ def connected_components(
     re-evaluating the edge plan).
     """
     if materialize is None:
-        materialize = lambda df, tag: df.localCheckpoint()  # noqa: E731
+        # round tables stay EAGER: the convergence probe is a
+        # filter+limit(1).count(), which under a lazy checkpoint would
+        # cache only the partitions the limit touched and leave the
+        # rest to be recomputed from lineage next round. The edge list
+        # is consumed by a full-scan aggregation first, so its
+        # materialization job can be elided (eager=False).
+        materialize = (  # noqa: E731
+            lambda df, tag: df.localCheckpoint(eager=(tag != "edges"))
+        )
     # single pass over (possibly expensive, lazy) edges: emit both
     # directions via explode instead of a self-union, which would scan
     # the edge-producing plan twice

@@ -20,7 +20,7 @@ the keeper-preference generalizes W3 role election
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import (
@@ -325,7 +325,11 @@ def curate(
     # doc (id + four scalars + a flag) — no content — so the
     # materialization is O(corpus ids), not O(corpus bytes), and the
     # same holds at 100 TB.
-    base = base.localCheckpoint()
+    # eager=False: all three consumers (blocked-id filter, the
+    # duplicate-loser join, the final projection) full-scan the base,
+    # so the first one computes+caches and the standalone
+    # materialization job disappears (one less driver barrier)
+    base = base.localCheckpoint(eager=False)
     survives_other_gates = (
         ~F.col("is_quarantined")
         & (F.col("n_tokens") >= min_tokens)

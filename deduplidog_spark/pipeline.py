@@ -87,7 +87,13 @@ def _ckpt(df: DataFrame, cfg: DedupConfig, stage: str, reuse: bool = True) -> Da
     operators (``reuse=True``) are localCheckpointed so each consumer
     doesn't re-execute the UDF stage; single-consumer stages stay
     lazy — every eager materialization is a driver-side barrier that
-    caps scaling."""
+    caps scaling. The localCheckpoint is ``eager=False`` (r6): the
+    first consuming job computes and caches the partitions exactly as
+    the eager form would, but the separate materialization job — one
+    driver round-trip + scheduler pass per stage — disappears; every
+    consumer here full-scans its input, so the partial-caching hazard
+    of lazy checkpoints (a limit() first consumer caching only the
+    partitions it touched) cannot arise."""
     if cfg.checkpoint_table_prefix:
         name = f"{cfg.checkpoint_table_prefix}_{stage}_{cfg.fingerprint()}"
         spark = df.sparkSession
@@ -114,7 +120,7 @@ def _ckpt(df: DataFrame, cfg: DedupConfig, stage: str, reuse: bool = True) -> Da
             record_lineage(out, run_dir, stage)  # north_rule
             return out
         return spark.read.parquet(path)
-    return df.localCheckpoint() if reuse else df
+    return df.localCheckpoint(eager=False) if reuse else df
 
 
 def _with_fid(df: DataFrame) -> DataFrame:
