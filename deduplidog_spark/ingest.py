@@ -27,6 +27,24 @@ from deduplidog_spark.config import DedupConfig
 CONTRACT_COLUMNS = ("repo", "path", "commit", "lang", "content")
 
 
+def widen_small_scan(df: DataFrame) -> DataFrame:
+    """Input-skew guard for CPU-dense stages (guide §2.5 "one huge
+    unsplittable file … repartition immediately after the read"): when
+    the input resolves to fewer partitions than the cluster has cores —
+    a single small parquet file, one unsplittable row group — every
+    downstream decode/signature task runs on a fraction of the cluster
+    while the rest idles. Round-robin repartition to the default
+    parallelism BEFORE the heavy per-row work; the one extra exchange
+    moves each input byte once, which the 10-100× per-byte cost of the
+    decode/signature kernels immediately amortizes. On real corpora
+    (files ≥ cores, the 100 TB case) the condition is false and the
+    plan is unchanged — content keeps never crossing a shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_files(spark, path: str) -> DataFrame:
     """S1/S2: scan the corpus table (parquet here; Iceberg on a real
     cluster — same DataFrame downstream). Column pruning + predicate

@@ -61,7 +61,11 @@ def with_signatures(files: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Adds ``sig`` (array<long>, num_perm wide). Gate rows through the
     F6 size filter before paying the UDF (SURVEY §4: compute signatures
     only for rows that enter the LSH stage)."""
-    return files.withColumn("sig", make_minhash_udf(cfg)(F.col("content")))
+    from deduplidog_spark.ingest import widen_small_scan
+
+    return widen_small_scan(files).withColumn(
+        "sig", make_minhash_udf(cfg)(F.col("content"))
+    )
 
 
 def make_minhash_band_udf(cfg: DedupConfig):
@@ -112,7 +116,9 @@ def with_banded_signatures(files: DataFrame, cfg: DedupConfig) -> DataFrame:
     equivalent of ``with_band_hashes(with_signatures(...))`` for
     consumers that never read ``sig`` (the dedup pipeline; the
     signature-agreement gate is not part of its verify chain)."""
-    return files.withColumn(
+    from deduplidog_spark.ingest import widen_small_scan
+
+    return widen_small_scan(files).withColumn(
         "band_hashes", make_minhash_band_udf(cfg)(F.col("content"))
     )
 
@@ -138,8 +144,13 @@ def banded_ingest_scan(raw: DataFrame, cfg: DedupConfig) -> DataFrame:
     applied above the Python node, where content no longer exists —
     so K1-K6 normalization and F1-F4 filter semantics cannot drift.
     """
-    from deduplidog_spark.ingest import apply_row_filters, with_path_columns
+    from deduplidog_spark.ingest import (
+        apply_row_filters,
+        widen_small_scan,
+        with_path_columns,
+    )
 
+    raw = widen_small_scan(raw)
     passthrough = [f for f in raw.schema.fields if f.name != "content"]
     names = [f.name for f in passthrough]
     schema = T.StructType(

@@ -411,7 +411,9 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
                 }
             )
 
-    return media.mapInPandas(feats, FEATURE_SCHEMA)
+    from deduplidog_spark.ingest import widen_small_scan
+
+    return widen_small_scan(media).mapInPandas(feats, FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -586,7 +588,9 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(frames, FRAME_SCHEMA)
+    from deduplidog_spark.ingest import widen_small_scan
+
+    return widen_small_scan(media).mapInPandas(frames, FRAME_SCHEMA)
 
 
 def _capped_hamming_self_join(

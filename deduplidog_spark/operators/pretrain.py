@@ -164,7 +164,9 @@ def decontaminate(
         .select(F.md5("gram").alias("gram_hash"))
         .distinct()
     )
-    corpus_grams = corpus.select(
+    from deduplidog_spark.ingest import widen_small_scan
+
+    corpus_grams = widen_small_scan(corpus).select(
         F.col(id_col),
         F.explode(word_grams(F.col(text_col), gram_words)).alias("gram"),
     ).select(id_col, F.md5("gram").alias("gram_hash"))
@@ -296,6 +298,12 @@ def curate(
     ids fed to the election, duplicate non-keeper ids) — no corpus
     shuffle beyond what decontaminate/quality_keepers already bound.
     """
+    from deduplidog_spark.ingest import widen_small_scan
+
+    # the verdict base is expression-dense (token split + quality +
+    # 2-gram build per row): widen a sub-core-count input scan so the
+    # per-row work parallelizes (no-op on real corpora — guide §2.5)
+    corpus = widen_small_scan(corpus)
     t = F.coalesce(F.col(text_col), F.lit(""))
     base = corpus.select(
         F.col(id_col),

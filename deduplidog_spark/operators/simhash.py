@@ -44,7 +44,11 @@ def make_simhash_udf(cfg: DedupConfig):
 
 
 def with_simhash(files: DataFrame, cfg: DedupConfig) -> DataFrame:
-    return files.withColumn("simhash", make_simhash_udf(cfg)(F.col("content")))
+    from deduplidog_spark.ingest import widen_small_scan
+
+    return widen_small_scan(files).withColumn(
+        "simhash", make_simhash_udf(cfg)(F.col("content"))
+    )
 
 
 def hamming_chunks(col, max_hamming: int):

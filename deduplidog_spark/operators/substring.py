@@ -42,7 +42,11 @@ def make_fingerprint_udf(cfg: DedupConfig):
 
 
 def with_fingerprints(files: DataFrame, cfg: DedupConfig) -> DataFrame:
-    return files.withColumn("band_hashes", make_fingerprint_udf(cfg)(F.col("content")))
+    from deduplidog_spark.ingest import widen_small_scan
+
+    return widen_small_scan(files).withColumn(
+        "band_hashes", make_fingerprint_udf(cfg)(F.col("content"))
+    )
 
 
 def explode_fingerprints(df: DataFrame, id_col: str = "fid") -> DataFrame:

@@ -81,6 +81,14 @@ def get_spark(
         # partition count ≈ cores at bench scale while still coalescing
         # pathological fan-outs at 100TB scale
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # AQE's coalescing floor (default 1m) serializes CPU-dense
+        # stages whose rows are small in bytes but heavy in compute
+        # (pair-expansion explodes, Hamming verifies over hash columns):
+        # a 900 KB post-shuffle stage coalesces to ONE task while 31
+        # cores idle. 64k keeps such stages parallel; at scale the
+        # partition target is totalSize/parallelism (parallelismFirst,
+        # default true), so real workloads are unaffected by the floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # generous broadcast threshold: dims (nation/region/config tables)
