@@ -22,6 +22,30 @@ _MERSENNE31 = np.uint64(2147483647)  # 2^31 - 1
 # hashes can be recovered from prefix sums without per-window slices
 _B_INV = np.uint64(pow(int(_B), -1, 1 << 64))
 
+# power tables B^i / B^(-i), grown geometrically and sliced per call:
+# the two multiplicative scans that built them per document were ~40%
+# of the shingle kernel (they depend only on the document LENGTH, not
+# its bytes — same values every call). Read-only after growth; worker
+# processes each grow their own copy (no cross-task mutation hazard:
+# growth replaces the module reference atomically and slices of the
+# old array remain valid).
+_PW = np.ones(1, dtype=np.uint64)
+_IPW = np.ones(1, dtype=np.uint64)
+
+
+def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
+    global _PW, _IPW
+    if len(_PW) < n + 1:
+        size = max(n + 1, 2 * len(_PW))
+        pw = np.ones(size, dtype=np.uint64)
+        np.multiply.accumulate(np.full(size - 1, _B, dtype=np.uint64), out=pw[1:])
+        ipw = np.ones(size, dtype=np.uint64)
+        np.multiply.accumulate(
+            np.full(size - 1, _B_INV, dtype=np.uint64), out=ipw[1:]
+        )
+        _PW, _IPW = pw, ipw
+    return _PW, _IPW
+
 
 def shingle_hashes_u64(text: str, k: int) -> np.ndarray:
     """All k-byte-shingle rolling hashes of ``text`` (with multiplicity),
@@ -42,13 +66,8 @@ def shingle_hashes_u64(text: str, k: int) -> np.ndarray:
         return np.zeros(1, dtype=np.uint64)
     if n < k:
         k = n
-    # pw[i] = B^i, ipw[i] = B^(-i), i in [0, n] — wrapping uint64 scans
-    pw = np.ones(n + 1, dtype=np.uint64)
-    np.multiply.accumulate(np.full(n, _B, dtype=np.uint64), out=pw[1:])
-    ipw = np.ones(n - k + 2, dtype=np.uint64)
-    np.multiply.accumulate(
-        np.full(n - k + 1, _B_INV, dtype=np.uint64), out=ipw[1:]
-    )
+    # pw[i] = B^i, ipw[i] = B^(-i) — sliced from the cached tables
+    pw, ipw = _powers(n)
     c = np.zeros(n + 1, dtype=np.uint64)
     np.cumsum(b.astype(np.uint64) * pw[:n], out=c[1:])
     h = (c[k:] - c[: n - k + 1]) * ipw[: n - k + 1]

@@ -47,7 +47,9 @@ def make_minhash_udf(cfg: DedupConfig):
                 out.append(None)  # F6 hash-cost gate → never similar
                 continue
             if use_oph:
-                h = np.unique(H.shingle_hashes_u64(text, k))
+                # no np.unique: OPH's per-bin min is multiplicity-
+                # insensitive, so the sort it paid bought nothing
+                h = H.shingle_hashes_u64(text, k)
                 out.append(H.oph_signature(h, num_perm))
             else:
                 sh = H.shingle_set_u32(text, k)
@@ -97,7 +99,9 @@ def make_minhash_band_udf(cfg: DedupConfig):
             if text is None or (max_size is not None and len(text) > max_size):
                 continue  # F6 hash-cost gate → never similar
             if use_oph:
-                h = np.unique(H.shingle_hashes_u64(text, k))
+                # no np.unique: OPH's per-bin min is multiplicity-
+                # insensitive, so the sort it paid bought nothing
+                h = H.shingle_hashes_u64(text, k)
                 sigs[i] = H.oph_signature(h, num_perm)
             else:
                 sh = H.shingle_set_u32(text, k)
@@ -194,7 +198,8 @@ def banded_ingest_scan(raw: DataFrame, cfg: DedupConfig) -> DataFrame:
                 if max_size is not None and len(text) > max_size:
                     continue  # F6 hash-cost gate → no bands
                 if use_oph:
-                    h = np.unique(H.shingle_hashes_u64(text, k))
+                    # no np.unique: OPH min is multiplicity-insensitive
+                    h = H.shingle_hashes_u64(text, k)
                     sigs[i] = H.oph_signature(h, num_perm)
                 else:
                     sh = H.shingle_set_u32(text, k)
