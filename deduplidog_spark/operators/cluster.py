@@ -66,8 +66,10 @@ def connected_components(
     checkpointed table — no extra join job per round (the round-1
     version re-joined old vs new labels: one more shuffle per round).
     ``check_every=1`` (r6 default, was 2) probes after every round: the
-    probe is a cheap limit-1 count over the materialized round table,
-    while a redundant round is two joins + an aggregation — with
+    probe is a filter-count over the round table — and (r6) it IS the
+    round's materialization job, since the round tables are lazy local
+    checkpoints and the full-scan count computes and caches them —
+    while a redundant round is two joins + an aggregation. With
     pointer doubling most dedup graphs converge in 2-3 rounds, so
     skipping probes was costing a full extra round on the odd-round
     cases for no measurable saving.
@@ -82,14 +84,14 @@ def connected_components(
     re-evaluating the edge plan).
     """
     if materialize is None:
-        # round tables stay EAGER: the convergence probe is a
-        # filter+limit(1).count(), which under a lazy checkpoint would
-        # cache only the partitions the limit touched and leave the
-        # rest to be recomputed from lineage next round. The edge list
-        # is consumed by a full-scan aggregation first, so its
-        # materialization job can be elided (eager=False).
+        # eager=False everywhere (r6): the convergence probe is a FULL
+        # filter-count (not limit(1) — see below), so the probe job
+        # itself materializes the round table it probes: one job per
+        # round instead of a checkpoint job plus a probe job, and the
+        # driver pays one plan compilation per round instead of two.
+        # The edge list is consumed by round 0's full-scan aggregation.
         materialize = (  # noqa: E731
-            lambda df, tag: df.localCheckpoint(eager=(tag != "edges"))
+            lambda df, tag: df.localCheckpoint(eager=False)
         )
     # single pass over (possibly expensive, lazy) edges: emit both
     # directions via explode instead of a self-union, which would scan
@@ -164,9 +166,15 @@ def connected_components(
             new_labels = materialize(new_labels, f"r{i}")
         last_round = i == max_iterations - 1
         if ((i + 1) % max(check_every, 1) == 0) or last_round:
+            # FULL count, deliberately not limit(1): scanning every
+            # partition makes this probe the job that computes and
+            # caches the (lazy-checkpointed) round table — a limit
+            # probe would leave unscanned partitions uncached and the
+            # next round would recompute them from lineage. The count
+            # of changed labels costs the same one job the old
+            # materialize+limit pair spread over two.
             changed = (
                 new_labels.filter(F.col("component") != F.col("prev"))
-                .limit(1)
                 .count()
             )
             if changed == 0:
