@@ -38,7 +38,13 @@ def widen_small_scan(df: DataFrame) -> DataFrame:
     moves each input byte once, which the 10-100× per-byte cost of the
     decode/signature kernels immediately amortizes. On real corpora
     (files ≥ cores, the 100 TB case) the condition is false and the
-    plan is unchanged — content keeps never crossing a shuffle."""
+    plan is unchanged — content keeps never crossing a shuffle.
+
+    Streaming inputs pass through untouched: partition introspection
+    (`df.rdd`) is illegal on an unstarted streaming plan, and a
+    micro-batch's parallelism is the source's concern."""
+    if df.isStreaming:
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
