@@ -199,55 +199,80 @@ def verify_candidate_pairs(
     content never crosses a shuffle — else from ``files``.
     ``sigs`` (fid, sig) optionally enables the signature-agreement gate.
     """
-    szs = files.select("fid", "size")
     if contents is None:
         contents = files.select("fid", "content")
     substring_mode = cfg.mode == "substring"
-    out = pairs
+    # ONE features projection serves every cheap gate, so the pair
+    # table is joined with per-doc metadata exactly once per side
+    # (r6): the gate-per-join shape paid 2 joins per enabled gate —
+    # 6 joins + 6 AQE stage boundaries with size+lines+sig on — for
+    # predicates that are conjunctive filters over the same slim rows.
+    # Gate set and thresholds are unchanged, so the surviving pair set
+    # is identical.
+    feat_cols, gates = [], []
     if not substring_mode:
         # size-ratio gate is wrong for substring semantics: a shared
         # 2 KB block inside a 1 MB file and a 4 KB file is a match
-        out = (
-            out.join(szs.withColumnRenamed("fid", "id_a").withColumnRenamed("size", "size_a"), "id_a")
-            .join(szs.withColumnRenamed("fid", "id_b").withColumnRenamed("size", "size_b"), "id_b")
-            .filter(
-                size_ratio_gate(F.col("size_a"), F.col("size_b"), cfg.size_ratio_prefilter)
+        feat_cols.append("size")
+        gates.append(
+            size_ratio_gate(
+                F.col("size_a"), F.col("size_b"), cfg.size_ratio_prefilter
             )
-            .select("id_a", "id_b")
         )
     if cfg.line_delta_max is not None and "n_lines" in files.columns:
-        nls = files.select("fid", "n_lines")
-        out = (
-            out.join(
-                nls.withColumnRenamed("fid", "id_a").withColumnRenamed(
-                    "n_lines", "nl_a"
-                ),
-                "id_a",
+        feat_cols.append("n_lines")
+        gates.append(
+            numeric_delta_gate(
+                F.col("n_lines_a"), F.col("n_lines_b"), cfg.line_delta_max
             )
-            .join(
-                nls.withColumnRenamed("fid", "id_b").withColumnRenamed(
-                    "n_lines", "nl_b"
-                ),
-                "id_b",
-            )
-            .filter(numeric_delta_gate(F.col("nl_a"), F.col("nl_b"), cfg.line_delta_max))
-            .select("id_a", "id_b")
         )
+    feat = files.select("fid", *feat_cols)
     if sigs is not None:
-        sa = sigs.select(F.col("fid").alias("id_a"), F.col("sig").alias("sig_a"))
-        sb = sigs.select(F.col("fid").alias("id_b"), F.col("sig").alias("sig_b"))
+        # fold the signature column into the same features table (one
+        # fid-keyed join of two slim per-doc tables — in practice both
+        # are projections of the same checkpointed stage) instead of a
+        # second pair-table join pair
+        feat = feat.join(sigs.select("fid", "sig"), "fid")
+        feat_cols.append("sig")
+        gates.append(
+            signature_agreement(F.col("sig_a"), F.col("sig_b"))
+            >= cfg.sig_est_threshold
+        )
+    out = pairs
+    if feat_cols:
+        fa = feat.select(
+            F.col("fid").alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in feat_cols],
+        )
+        fb = feat.select(
+            F.col("fid").alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in feat_cols],
+        )
+        gate = gates[0]
+        for g in gates[1:]:
+            gate = gate & g
         out = (
-            out.join(sa, "id_a")
-            .join(sb, "id_b")
-            .filter(
-                signature_agreement(F.col("sig_a"), F.col("sig_b"))
-                >= cfg.sig_est_threshold
-            )
+            out.join(fa, "id_a").join(fb, "id_b").filter(gate)
             .select("id_a", "id_b")
         )
     if cfg.exact_verify:
-        ca = contents.select(F.col("fid").alias("id_a"), F.col("content").alias("content_a"))
-        cb = contents.select(F.col("fid").alias("id_b"), F.col("content").alias("content_b"))
+        # content is attached in ONE pass over the corpus (r6): a
+        # semi-join keeps only rows that appear in a surviving pair,
+        # and both sides of the pair join read that (pair-bounded)
+        # table — the per-side shape scanned the full content column
+        # twice, once under id_a and once under id_b (guide §8:
+        # decide with small rows, then move heavy bytes once). The
+        # gated pair set is lazily checkpointed so its two consumers
+        # (the id set and the outer join) share one evaluation.
+        out = out.localCheckpoint(eager=False)
+        ids = out.select(
+            F.explode(F.array("id_a", "id_b")).alias("fid")
+        ).distinct()
+        cset = contents.join(ids, "fid", "left_semi").localCheckpoint(
+            eager=False
+        )
+        ca = cset.select(F.col("fid").alias("id_a"), F.col("content").alias("content_a"))
+        cb = cset.select(F.col("fid").alias("id_b"), F.col("content").alias("content_b"))
         out = out.join(ca, "id_a").join(cb, "id_b")
         if substring_mode:
             # verify the actual shared-block length, not global overlap

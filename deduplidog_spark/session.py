@@ -127,15 +127,23 @@ def _prewarm_python_workers(spark: SparkSession, cores: int) -> None:
         from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
 
-        def _identity(s: "pd.Series") -> "pd.Series":
-            import numpy  # noqa: F401  (preload the kernel deps too)
+        # a STRING-bearing micro-kernel, not an identity over longs: the
+        # first Arrow UDF stage of a session was measured paying ~2.5s
+        # beyond worker spin-up — JIT of the JVM Arrow string
+        # writer/reader path plus first worker-side import of the
+        # numpy kernel module — all of it data-independent session
+        # startup that otherwise lands inside the first real query.
+        # One 32-row string batch through the same machinery (plus a
+        # kernel-module import per worker) absorbs it at session build.
+        def _warm(s: "pd.Series") -> "pd.Series":
+            from deduplidog_spark.functions import hashing as H
 
-            return s
+            return s.map(lambda t: int(H.shingle_hashes_u64(t, 5)[0]))
 
-        _identity.__annotations__ = {"s": pd.Series, "return": pd.Series}
-        warm = pandas_udf(_identity, "long")
+        _warm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        warm = pandas_udf(_warm, "long")
         spark.range(0, cores, 1, cores).select(
-            warm(F.col("id"))
+            warm(F.concat(F.lit("warmup-"), F.col("id").cast("string")))
         ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass  # prewarm is best-effort; never fail session construction
