@@ -254,7 +254,11 @@ def explode_bands(df: DataFrame, id_col: str = "fid") -> DataFrame:
 
 def signature_agreement(sig_a, sig_b) -> "F.Column":
     """Estimated Jaccard = fraction of agreeing MinHash components —
-    computed JVM-side with zip_with + aggregate (no UDF)."""
+    computed JVM-side with zip_with + aggregate (no UDF). Measured
+    (700k synthetic 128-wide pairs, noop sink): this HOF form runs in
+    ~1s; an unrolled 128-term comparison chain was 6× SLOWER — the
+    generated method exceeds the codegen size limits and falls back to
+    interpreted per-node evaluation of a 128-deep tree."""
     matches = F.aggregate(
         F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
