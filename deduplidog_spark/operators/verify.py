@@ -83,61 +83,6 @@ def make_jaccard_udf(cfg: DedupConfig):
     return pandas_udf(_pair_jaccard, T.DoubleType())
 
 
-def make_shingle_set_udf(cfg: DedupConfig):
-    """Distinct-shingle set per DOCUMENT as array<int> — the per-doc
-    half of the exact-Jaccard stage (r6). ``shingle_set_u32`` values
-    are < 2^31 so they fit IntegerType exactly. NULL content → NULL."""
-    from typing import Iterator
-
-    k = cfg.shingle_k
-
-    def _sets(batches):
-        for s in batches:
-            yield pd.Series(
-                [
-                    None if t is None else H.shingle_set_u32(t, k).astype("int32")
-                    for t in s
-                ]
-            )
-
-    _sets.__annotations__ = {
-        "batches": Iterator[pd.Series],
-        "return": Iterator[pd.Series],
-    }
-    return pandas_udf(_sets, T.ArrayType(T.IntegerType()))
-
-
-def make_set_jaccard_udf():
-    """Exact Jaccard of two precomputed distinct-shingle arrays —
-    the per-PAIR half of the split exact stage. Values replicate
-    ``hashing.jaccard_of_sets`` exactly: same integer counts, one IEEE
-    double division, NULL input (quarantined content) → 0.0 like the
-    content UDF's None branch.
-
-    Vectorized-input numpy per pair; measured 4× faster than the JVM
-    ``array_intersect`` expression form at 400k × 300-element pairs
-    (boxing-heavy OpenHashSet per row there, plus filter pushdown
-    re-evaluating the expression). Returned marked NON-DETERMINISTIC
-    so the optimizer cannot duplicate it below the threshold filter
-    (guide §4.4) — it is of course deterministic in value."""
-
-    @pandas_udf(T.DoubleType())
-    def set_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = np.empty(len(a))
-        for i, (x, y) in enumerate(zip(a, b)):
-            if x is None or y is None:
-                out[i] = 0.0
-                continue
-            inter = np.intersect1d(x, y, assume_unique=True).size
-            u = x.size + y.size - inter
-            out[i] = float(inter) / float(u) if u else 1.0
-        return pd.Series(out)
-
-    return set_jaccard.asNondeterministic()
-
-
 def make_lcs_udf():
     """Longest-common-substring length (pair-level) — the verifier for
     substring mode: winnowing fingerprints guarantee candidates for any
@@ -337,27 +282,26 @@ def verify_candidate_pairs(
                 .withColumn("jaccard", F.lit(None).cast("double"))
             )
         else:
-            # per-DOC shingle sets once (one Arrow pass over the
-            # pair-bounded content set), then the pair stage is a pure
-            # JVM array_intersect — the per-PAIR UDF re-shingled both
-            # contents for every candidate, O(pairs · doc_len) Python
-            # on high-background corpora (371k surviving candidates →
-            # 25 verified on the sf0.1 document table). Values are
-            # bit-identical: same shingle sets, same integer counts,
-            # one IEEE double division (pinned by the unchanged
-            # oracle hashes).
-            sset = make_shingle_set_udf(cfg)
-            sets = cset.select(
-                "fid", sset(F.col("content")).alias("shset")
-            ).localCheckpoint(eager=False)
-            sa = sets.select(F.col("fid").alias("id_a"), F.col("shset").alias("set_a"))
-            sb = sets.select(F.col("fid").alias("id_b"), F.col("shset").alias("set_b"))
-            jac = make_set_jaccard_udf()
+            # pair-bounded content, attached once per side from the
+            # single-scan ``cset``; exact Jaccard via the memoized
+            # shingle-set UDF, marked NON-DETERMINISTIC so the
+            # threshold filter cannot be pushed below it — without the
+            # mark the optimizer duplicates the UDF around the pushed
+            # filter and every pair pays the Python stage twice
+            # (guide §4.4). A sets-as-arrays variant (per-doc shingle
+            # arrays + per-pair intersect) was measured and rejected:
+            # a shingle set is ~4 bytes per CHARACTER of text, so
+            # shipping sets quadruples the pair-stage Arrow traffic
+            # relative to shipping the content itself.
+            cset = cset.localCheckpoint(eager=False)
+            ca = cset.select(F.col("fid").alias("id_a"), F.col("content").alias("content_a"))
+            cb = cset.select(F.col("fid").alias("id_b"), F.col("content").alias("content_b"))
+            jac = make_jaccard_udf(cfg).asNondeterministic()
             out = (
-                out.join(sa, "id_a").join(sb, "id_b")
-                .withColumn("jaccard", jac(F.col("set_a"), F.col("set_b")))
+                out.join(ca, "id_a").join(cb, "id_b")
+                .withColumn("jaccard", jac(F.col("content_a"), F.col("content_b")))
                 .filter(F.col("jaccard") >= cfg.jaccard_threshold)
-                .drop("set_a", "set_b")
+                .drop("content_a", "content_b")
             )
     else:
         out = out.withColumn("jaccard", F.lit(None).cast("double"))

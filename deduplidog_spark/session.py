@@ -142,8 +142,21 @@ def _prewarm_python_workers(spark: SparkSession, cores: int) -> None:
 
         _warm.__annotations__ = {"s": pd.Series, "return": pd.Series}
         warm = pandas_udf(_warm, "long")
-        spark.range(0, cores, 1, cores).select(
-            warm(F.concat(F.lit("warmup-"), F.col("id").cast("string")))
+        strings = spark.range(0, cores, 1, cores).select(
+            "id", F.concat(F.lit("warmup-"), F.col("id").cast("string")).alias("s")
+        )
+        strings.select(warm("s")).write.format("noop").mode("overwrite").save()
+
+        # ... and once through MapInPandasExec: it is a different JVM
+        # execution path than ArrowEvalPython and pays its own
+        # first-use JIT (measured ~2.6s on the first banded_ingest_scan
+        # of a session even with the scalar-UDF prewarm above)
+        def _ident(batches):
+            for pdf in batches:
+                yield pdf
+
+        strings.mapInPandas(
+            _ident, "id long, s string"
         ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass  # prewarm is best-effort; never fail session construction
