@@ -1913,41 +1913,48 @@ def q_media_pairs_suite(spark, sf_dir):
         .otherwise(F.encode("text", "utf-8"))
         .alias("payload")
     )
-    # the four feature materializations are independent jobs — build
-    # them from a small thread pool so each job's straggler tail
-    # back-fills with the next job's tasks (guide §2.6); Spark's
-    # scheduler runs concurrent jobs from driver threads natively
+    # ONE fused decode pass for the three feature variants (r6.2): the
+    # three specs union under a `spec` tag and decode in a single
+    # mapInPandas job; each variant's table is a tag-filtered
+    # projection of the one materialization — per-variant rows are
+    # byte-identical to the standalone builders because phash/feature
+    # depend only on (payload, kind) and duration_ms passes through.
+    # The remaining two independent jobs (fused decode, frame
+    # sampling) still overlap via a thread pair (guide §2.6).
     from concurrent.futures import ThreadPoolExecutor
 
-    def _b_h3():
-        return extract_media_features(
+    def _b_feats():
+        null_dur = F.lit(None).cast("long").alias("duration_ms")
+        spec = (
             dne.select(
                 F.col("doc_id").alias("media_id"),
                 F.lit("image").alias("kind"),
                 F.encode("text", "utf-8").alias("payload"),
+                null_dur,
+                F.lit("h3").alias("spec"),
             )
-        ).localCheckpoint()
-
-    def _b_h8():
-        return extract_media_features(
-            dne.select(
-                F.col("doc_id").alias("media_id"),
-                F.lit("image").alias("kind"),
-                planted_payload,
+            .unionByName(
+                dne.select(
+                    F.col("doc_id").alias("media_id"),
+                    F.lit("image").alias("kind"),
+                    planted_payload,
+                    null_dur,
+                    F.lit("h8").alias("spec"),
+                )
             )
-        ).localCheckpoint()
-
-    def _b_vg():
-        return extract_media_features(
-            dne.select(
-                F.col("doc_id").alias("media_id"),
-                F.lit("video").alias("kind"),
-                planted_payload,
-                F.when(F.col("doc_id") % 2 == 0, (F.col("doc_id") % 4) * 10000)
-                .cast("long")
-                .alias("duration_ms"),
+            .unionByName(
+                dne.select(
+                    F.col("doc_id").alias("media_id"),
+                    F.lit("video").alias("kind"),
+                    planted_payload,
+                    F.when(
+                        F.col("doc_id") % 2 == 0, (F.col("doc_id") % 4) * 10000
+                    ).cast("long").alias("duration_ms"),
+                    F.lit("vg").alias("spec"),
+                )
             )
-        ).localCheckpoint()
+        )
+        return extract_media_features(spec, passthrough=("spec",)).localCheckpoint()
 
     def _b_frames():
         return sample_video_frames(
@@ -1959,14 +1966,14 @@ def q_media_pairs_suite(spark, sf_dir):
             n_frames=4,
         ).localCheckpoint()
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        f_h3, f_h8, f_vg, f_fr = (
-            pool.submit(_b_h3), pool.submit(_b_h8),
-            pool.submit(_b_vg), pool.submit(_b_frames),
-        )
-        feats_h3, feats_h8, feats_vg, frames = (
-            f_h3.result(), f_h8.result(), f_vg.result(), f_fr.result(),
-        )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_all, f_fr = pool.submit(_b_feats), pool.submit(_b_frames)
+        feats_all, frames = f_all.result(), f_fr.result()
+
+    def _spec(tag):
+        return feats_all.filter(F.col("spec") == tag).drop("spec")
+
+    feats_h3, feats_h8, feats_vg = _spec("h3"), _spec("h8"), _spec("vg")
 
     h3 = near_dup_media_pairs(feats_h3, max_hamming=3).select(
         F.lit("h3").alias("mode"), "id_a", "id_b", _nb().alias("v1")

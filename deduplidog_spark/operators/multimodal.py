@@ -349,14 +349,23 @@ def _phash64(pixels: np.ndarray) -> int:
     return h - (1 << 64) if h >= 1 << 63 else h
 
 
-def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+def extract_media_features(
+    media: DataFrame, feature_dim: int = 16, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """media rows → (media_id, kind, n_bytes, phash, feature) via
     mapInPandas. Batch shape: the iterator yields one output frame per
-    input Arrow batch — constant memory regardless of partition size."""
+    input Arrow batch — constant memory regardless of partition size.
+
+    ``passthrough`` names input columns to carry into the output
+    unchanged (appended after FEATURE_SCHEMA) — callers that decode
+    several tagged variants in ONE pass (guide §2.4: share the scan)
+    filter on the tag afterwards instead of paying one decode job per
+    variant."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _make_decoder()  # once per worker, not per row
         for pdf in batches:
+            extra = {c: pdf[c].reset_index(drop=True) for c in passthrough}
             out = {
                 "media_id": [], "kind": [], "n_bytes": [], "phash": [],
                 "feature": [], "quarantined": [], "aux_ts": [],
@@ -400,20 +409,24 @@ def extract_media_features(media: DataFrame, feature_dim: int = 16) -> DataFrame
             # phash/duration_ms must stay object-dtyped: a single None
             # (quarantined row / image) would coerce the column to
             # float64 and silently corrupt 64-bit values above 2^53
-            yield pd.DataFrame(
-                {
-                    k: (
-                        pd.Series(v, dtype="object")
-                        if k in ("phash", "duration_ms")
-                        else v
-                    )
-                    for k, v in out.items()
-                }
-            )
+            frame = {
+                k: (
+                    pd.Series(v, dtype="object")
+                    if k in ("phash", "duration_ms")
+                    else v
+                )
+                for k, v in out.items()
+            }
+            frame.update(extra)
+            yield pd.DataFrame(frame)
 
     from deduplidog_spark.ingest import widen_small_scan
 
-    return widen_small_scan(media).mapInPandas(feats, FEATURE_SCHEMA)
+    schema = T.StructType(
+        list(FEATURE_SCHEMA.fields)
+        + [media.schema[c] for c in passthrough]
+    )
+    return widen_small_scan(media).mapInPandas(feats, schema)
 
 
 FRAME_SCHEMA = T.StructType(
