@@ -615,7 +615,9 @@ def q_connected_components(spark, sf_dir):
         )
     )
     edges = exact.union(near).dropDuplicates(["id_a", "id_b"])
-    return connected_components(edges)
+    # canonical (id_a < id_b on both branches) + dropDuplicates above:
+    # CC's defensive edge dedup shuffle would be a no-op
+    return connected_components(edges, assume_unique_edges=True)
 
 
 def q_common_prefix(spark, sf_dir):
@@ -1604,7 +1606,7 @@ def q_dedup_embedding(spark, sf_dir):
         F.format_string("v%012d", "vec_id_a").alias("id_a"),
         F.format_string("v%012d", "vec_id_b").alias("id_b"),
     )
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, assume_unique_edges=True)
     return labels.select(
         F.substring("fid", 2, 12).cast("long").alias("vec_id"),
         F.substring("component", 2, 12).cast("long").alias("component"),

@@ -306,7 +306,12 @@ def incremental_labels(
     star = members.select(
         F.col("component").alias("id_a"), F.col("fid").alias("id_b")
     )
-    sub = connected_components(new_edges.union(star), max_iterations)
+    sub = connected_components(
+        # new edges touch >=1 batch fid and are canonical+unique; star
+        # edges are one row per base member of a touched component --
+        # disjoint and duplicate-free, so skip the edge dedup shuffle
+        new_edges.union(star), max_iterations, assume_unique_edges=True,
+    )
     updated = base_labels.join(sub, "fid", "left_anti").unionByName(sub)
     return sub, updated
 

@@ -30,6 +30,7 @@ def connected_components(
     checkpoint_every: int = 1,
     check_every: int = 1,
     materialize=None,
+    assume_unique_edges: bool = False,
 ) -> DataFrame:
     """Edges (id_a, id_b) → labels (fid, component) for every node that
     appears in an edge. Component id = min member fid (deterministic).
@@ -104,7 +105,18 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    und = materialize(und.filter(F.col("src") != F.col("dst")).distinct(), "edges")
+    und = und.filter(F.col("src") != F.col("dst"))
+    if not assume_unique_edges:
+        # labels are invariant to edge multiplicity (min over a
+        # repeated neighbor is the min), so the dedup exists purely to
+        # keep the per-round shuffle volume proportional to the
+        # DISTINCT edge set — worth one up-front exchange for unknown
+        # callers. Every library pipeline emits canonical (id_a <
+        # id_b) duplicate-free edges by construction and passes
+        # ``assume_unique_edges=True``, skipping this full edge
+        # shuffle per CC run (r6).
+        und = und.distinct()
+    und = materialize(und, "edges")
 
     labels = None
     for i in range(max_iterations):

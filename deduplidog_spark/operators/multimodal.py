@@ -921,6 +921,9 @@ def dedup_media(
             F.format_string("m%012d", "id_b").alias("id_b"),
         ),
         cc_max_iterations,
+        # the pair set is .distinct() canonical (id_a < id_b) by
+        # construction -- skip CC's defensive edge dedup shuffle
+        assume_unique_edges=True,
     )
     members = labels.select(
         F.substring("fid", 2, 12).cast("long").alias("media_id"),

@@ -383,7 +383,11 @@ def dedupe(raw: DataFrame, cfg: DedupConfig) -> DedupResult:
     # plan is consumed lazily — none need an eager barrier here
     edges = _ckpt(edges, cfg, "edges", reuse=False)
     labels = connected_components(
-        edges, cfg.cc_max_iterations, materialize=_cc_materializer(cfg)
+        edges, cfg.cc_max_iterations, materialize=_cc_materializer(cfg),
+        # near edges are dropDuplicates'd canonical pairs, exact stars
+        # are one row per member, and the sides are disjoint (see the
+        # edges union above) -- skip CC's defensive edge dedup shuffle
+        assume_unique_edges=True,
     )
     labels = _ckpt(labels, cfg, "cc_labels", reuse=False)
     clusters = elect_keepers(files, labels, cfg)
