@@ -753,10 +753,17 @@ class _TableDeltaStore:
                 f"ALTER TABLE {name} DROP IF EXISTS "
                 f"PARTITION (batch_id={int(batch_id)})"
             )
-        except Exception:
-            self.spark.sql(
-                f"DELETE FROM {name} WHERE batch_id = {int(batch_id)}"
-            )
+        except Exception as alter_err:
+            # chain the ALTER failure into the fallback: on a v1
+            # parquet table a transient ALTER error would otherwise
+            # surface as an unrelated "DELETE is only supported with
+            # v2 tables" with the root cause invisible (r5 ADVICE)
+            try:
+                self.spark.sql(
+                    f"DELETE FROM {name} WHERE batch_id = {int(batch_id)}"
+                )
+            except Exception as delete_err:
+                raise delete_err from alter_err
 
     def _markers(self) -> str:
         return f"{self.prefix}_delta_markers_{self.fp}"

@@ -43,6 +43,10 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
+        # NEVER NULL: len(payload) with None coerced to b"" — the
+        # dedup_media keeper election relies on this (its min_by
+        # struct key has no null-flag field; a null would sort FIRST,
+        # inverting the n_bytes DESC NULLS LAST window order)
         T.StructField("n_bytes", T.LongType()),
         T.StructField("phash", T.LongType()),  # NULL when quarantined
         T.StructField("feature", T.ArrayType(T.FloatType())),

@@ -65,7 +65,12 @@ def _synth_skew(spark, n_rows: int, variant: str, doc_tokens: int = 250):
             # near-identical family: ONE base doc, two token edits per
             # member (distinct sha, Jaccard >> threshold vs every other
             # member) — every member lands in the same LSH buckets
-            toks = _gen_tokens(888_888, doc_tokens).copy()
+            # object dtype BEFORE assignment: _gen_tokens returns a
+            # <U8 numpy array, where f"edit_{i}" silently truncates to
+            # 8 chars and members with equal i mod 250 could collapse
+            # to byte-identical docs (r5 ADVICE), contaminating the
+            # sha-collapse vs bucket-cap split this benchmark measures
+            toks = _gen_tokens(888_888, doc_tokens).astype(object)
             toks[i % doc_tokens] = f"edit_{i}"
             toks[(i * 7 + 1) % doc_tokens] = f"edit2_{i}"
         else:
